@@ -1,0 +1,65 @@
+"""Ranker protocol over the TPU top-k engine.
+
+One ranker replaces both of the reference's rankers (ImplicitRanker at
+rectools/models/rank/rank_implicit.py:34 and TorchRanker at
+rank_torch.py:30); contract per rank/rank.py:36-64.
+"""
+
+import typing as tp
+
+import numpy as np
+from scipy import sparse
+
+from ..ops.topk import Distance, rank_topk
+
+__all__ = ["Distance", "Ranker", "TPURanker"]
+
+
+class Ranker(tp.Protocol):
+    """Protocol: batched top-k ranking returning flattened sorted triplets."""
+
+    def rank(
+        self,
+        subject_ids: np.ndarray,
+        k: int,
+        filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
+        sorted_object_whitelist: tp.Optional[np.ndarray] = None,
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ...  # pragma: no cover
+
+
+class TPURanker:
+    """Exact top-k MIPS over subject/object factor matrices on TPU."""
+
+    def __init__(
+        self,
+        distance: Distance,
+        subjects_factors: tp.Union[np.ndarray, sparse.csr_matrix],
+        objects_factors: np.ndarray,
+        batch_size: int = 1024,
+    ) -> None:
+        self.distance = distance
+        self.subjects_factors = subjects_factors
+        self.objects_factors = np.asarray(objects_factors, dtype=np.float32)
+        self.batch_size = batch_size
+
+    def rank(
+        self,
+        subject_ids: np.ndarray,
+        k: int,
+        filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
+        sorted_object_whitelist: tp.Optional[np.ndarray] = None,
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        subject_ids = np.asarray(subject_ids)
+        if filter_pairs_csr is not None and filter_pairs_csr.shape[0] != len(subject_ids):
+            raise ValueError("Number of rows in `filter_pairs_csr` must match `subject_ids` length")
+        return rank_topk(
+            subjects=self.subjects_factors,
+            objects=self.objects_factors,
+            subject_ids=subject_ids,
+            k=k,
+            distance=self.distance,
+            filter_pairs_csr=filter_pairs_csr,
+            sorted_object_whitelist=sorted_object_whitelist,
+            batch_size=self.batch_size,
+        )

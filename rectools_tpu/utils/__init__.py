@@ -1,0 +1,32 @@
+from .array_ops import (
+    fast_isin,
+    fast_isin_for_sorted_test_elements,
+    fast_2d_int_unique,
+    isin_2d_int,
+)
+from .config import BaseConfig
+from .indexing import get_element_ids, get_from_series_by_index
+from .misc import (
+    import_object,
+    get_class_or_function_full_path,
+    make_dict_flat,
+    unflatten_dict,
+    select_by_type,
+    log_at_base,
+)
+
+__all__ = [
+    "fast_isin",
+    "fast_isin_for_sorted_test_elements",
+    "fast_2d_int_unique",
+    "isin_2d_int",
+    "BaseConfig",
+    "get_element_ids",
+    "get_from_series_by_index",
+    "import_object",
+    "get_class_or_function_full_path",
+    "make_dict_flat",
+    "unflatten_dict",
+    "select_by_type",
+    "log_at_base",
+]

@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on fake CPU devices (the "fake backend" the reference never had —
+SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: test shapes are stable across runs, so
+# cached executables cut suite time drastically.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")

@@ -1,0 +1,144 @@
+"""Exact-parity tests of the TPU top-k MIPS engine vs brute-force numpy."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from rectools_tpu.models.rank import Distance, TPURanker
+
+
+def brute_force_rank(subjects, objects, subject_ids, k, distance, filter_csr=None, whitelist=None):
+    """Reference implementation in pure numpy."""
+    results = []
+    obj_ids_all = np.arange(objects.shape[0]) if whitelist is None else np.asarray(whitelist)
+    objs = objects if whitelist is None else objects[whitelist]
+    for pos, sid in enumerate(subject_ids):
+        s = np.asarray(subjects[sid].todense()).ravel() if sparse.issparse(subjects) else subjects[sid]
+        if distance == Distance.DOT:
+            scores = objs @ s
+            order_scores = scores
+        elif distance == Distance.COSINE:
+            s_norm = np.linalg.norm(s)
+            o_norms = np.linalg.norm(objs, axis=1)
+            o_norms_safe = np.where(o_norms == 0, 1, o_norms)
+            scores = (objs @ s) / o_norms_safe
+            if s_norm > 0:
+                scores = scores / s_norm
+            order_scores = scores
+        else:  # EUCLIDEAN
+            d = np.linalg.norm(objs - s[None, :], axis=1)
+            scores = d
+            order_scores = -d
+        mask = np.ones(len(objs), dtype=bool)
+        if filter_csr is not None:
+            seen = filter_csr.indices[filter_csr.indptr[pos] : filter_csr.indptr[pos + 1]]
+            if whitelist is not None:
+                seen = np.searchsorted(obj_ids_all, seen[np.isin(seen, obj_ids_all)])
+            mask[seen] = False
+        valid_pos = np.where(mask)[0]
+        order = valid_pos[np.argsort(-order_scores[valid_pos], kind="stable")][:k]
+        for o in order:
+            results.append((sid, obj_ids_all[o], scores[o]))
+    subj = np.array([r[0] for r in results], dtype=np.int64)
+    obj = np.array([r[1] for r in results], dtype=np.int64)
+    sc = np.array([r[2] for r in results], dtype=np.float32)
+    return subj, obj, sc
+
+
+@pytest.fixture
+def factors():
+    rng = np.random.default_rng(42)
+    subjects = rng.normal(size=(20, 16)).astype(np.float32)
+    objects = rng.normal(size=(50, 16)).astype(np.float32)
+    return subjects, objects
+
+
+@pytest.mark.parametrize("distance", [Distance.DOT, Distance.COSINE, Distance.EUCLIDEAN])
+def test_plain_rank_matches_bruteforce(factors, distance):
+    subjects, objects = factors
+    subject_ids = np.array([0, 3, 7, 19])
+    ranker = TPURanker(distance, subjects, objects)
+    subj, obj, scores = ranker.rank(subject_ids, k=5)
+    e_subj, e_obj, e_scores = brute_force_rank(subjects, objects, subject_ids, 5, distance)
+    np.testing.assert_array_equal(subj, e_subj)
+    np.testing.assert_array_equal(obj, e_obj)
+    np.testing.assert_allclose(scores, e_scores, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("distance", [Distance.DOT, Distance.COSINE])
+def test_filtering_seen(factors, distance):
+    subjects, objects = factors
+    subject_ids = np.array([1, 2])
+    rows = np.array([0, 0, 0, 1, 1])
+    cols = np.array([5, 10, 15, 3, 7])
+    filter_csr = sparse.csr_matrix(
+        (np.ones(5), (rows, cols)), shape=(2, objects.shape[0])
+    )
+    ranker = TPURanker(distance, subjects, objects)
+    subj, obj, scores = ranker.rank(subject_ids, k=8, filter_pairs_csr=filter_csr)
+    e_subj, e_obj, e_scores = brute_force_rank(
+        subjects, objects, subject_ids, 8, distance, filter_csr=filter_csr
+    )
+    np.testing.assert_array_equal(obj, e_obj)
+    np.testing.assert_allclose(scores, e_scores, rtol=1e-4, atol=1e-5)
+    # filtered items never appear
+    assert not set(obj[subj == 1]) & {5, 10, 15}
+
+
+def test_whitelist(factors):
+    subjects, objects = factors
+    subject_ids = np.array([0, 5])
+    whitelist = np.array([2, 8, 13, 21, 34, 44])
+    ranker = TPURanker(Distance.DOT, subjects, objects)
+    subj, obj, scores = ranker.rank(subject_ids, k=3, sorted_object_whitelist=whitelist)
+    e_subj, e_obj, e_scores = brute_force_rank(
+        subjects, objects, subject_ids, 3, Distance.DOT, whitelist=whitelist
+    )
+    np.testing.assert_array_equal(obj, e_obj)
+    np.testing.assert_allclose(scores, e_scores, rtol=1e-4, atol=1e-5)
+    assert set(obj) <= set(whitelist)
+
+
+def test_whitelist_and_filter(factors):
+    subjects, objects = factors
+    subject_ids = np.array([4])
+    whitelist = np.array([1, 2, 3, 4, 5])
+    filter_csr = sparse.csr_matrix(
+        (np.ones(2), (np.array([0, 0]), np.array([2, 4]))), shape=(1, objects.shape[0])
+    )
+    ranker = TPURanker(Distance.DOT, subjects, objects)
+    subj, obj, scores = ranker.rank(
+        subject_ids, k=10, filter_pairs_csr=filter_csr, sorted_object_whitelist=whitelist
+    )
+    assert set(obj) == {1, 3, 5}  # k > available -> returns fewer
+
+
+def test_sparse_subjects(factors):
+    """CSR subject rows x dense object table (EASE/kNN scoring mode)."""
+    _, objects = factors
+    n_items = objects.shape[0]
+    rng = np.random.default_rng(0)
+    dense_subjects = (rng.random((6, 16)) < 0.3).astype(np.float32)
+    sp_subjects = sparse.csr_matrix(dense_subjects)
+    subject_ids = np.array([0, 2, 5])
+    ranker_sp = TPURanker(Distance.DOT, sp_subjects, objects)
+    ranker_d = TPURanker(Distance.DOT, dense_subjects, objects)
+    r_sp = ranker_sp.rank(subject_ids, k=4)
+    r_d = ranker_d.rank(subject_ids, k=4)
+    np.testing.assert_array_equal(r_sp[1], r_d[1])
+    np.testing.assert_allclose(r_sp[2], r_d[2], rtol=1e-5)
+
+
+def test_k_larger_than_objects(factors):
+    subjects, objects = factors
+    ranker = TPURanker(Distance.DOT, subjects, objects[:3])
+    subj, obj, scores = ranker.rank(np.array([0]), k=10)
+    assert len(obj) == 3
+
+
+def test_filter_mismatched_rows_raises(factors):
+    subjects, objects = factors
+    filter_csr = sparse.csr_matrix((3, objects.shape[0]))
+    ranker = TPURanker(Distance.DOT, subjects, objects)
+    with pytest.raises(ValueError):
+        ranker.rank(np.array([0]), k=1, filter_pairs_csr=filter_csr)
