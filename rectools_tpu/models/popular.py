@@ -1,0 +1,246 @@
+"""Popularity model (reference rectools/models/popular.py).
+
+Fit computes a popularity list on the host (tiny groupby). `recommend` runs
+through the SAME TPU top-k engine as every other model: items get an
+order-value score (higher = earlier in the popularity list), the kernel
+handles seen-filtering and whitelists, then reported scores are looked up from
+the fitted popularity values. This removes the reference's per-user Python
+loop (popular.py:266-317) entirely.
+"""
+
+import typing as tp
+from datetime import datetime, timedelta
+from enum import Enum
+
+import numpy as np
+import pandas as pd
+import typing_extensions as tpe
+from pydantic import BeforeValidator, PlainSerializer
+
+from ..columns import Columns
+from ..dataset import Dataset
+from .base import FixedColdRecoModelMixin, ModelBase, ModelConfig
+from .rank import Distance, TPURanker
+
+
+class Popularity(Enum):
+    """Ways to measure item popularity."""
+
+    N_USERS = "n_users"
+    N_INTERACTIONS = "n_interactions"
+    MEAN_WEIGHT = "mean_weight"
+    SUM_WEIGHT = "sum_weight"
+
+
+def _deserialize_timedelta(td: tp.Any) -> tp.Any:
+    if isinstance(td, dict):
+        return timedelta(**td)
+    return td
+
+
+def _serialize_timedelta(td: timedelta) -> dict:
+    return {
+        key: value
+        for key, value in {"days": td.days, "seconds": td.seconds, "microseconds": td.microseconds}.items()
+        if value != 0
+    }
+
+
+TimeDelta = tpe.Annotated[
+    timedelta,
+    BeforeValidator(func=_deserialize_timedelta),
+    PlainSerializer(func=_serialize_timedelta, return_type=dict, when_used="json"),
+]
+
+
+class PopularModelConfig(ModelConfig):
+    """Config for `PopularModel`."""
+
+    popularity: Popularity = Popularity.N_USERS
+    period: tp.Optional[TimeDelta] = None
+    begin_from: tp.Optional[datetime] = None
+    add_cold: bool = False
+    inverse: bool = False
+
+
+PopularityOptions = tp.Literal["n_users", "n_interactions", "mean_weight", "sum_weight"]
+
+
+class PopularModelMixin:
+    """Shared popularity helpers (also used by PopularInCategoryModel)."""
+
+    @classmethod
+    def _validate_popularity(cls, popularity: tp.Union[str, Popularity]) -> Popularity:
+        try:
+            return Popularity(popularity)
+        except ValueError:
+            possible = {item.value for item in Popularity.__members__.values()}
+            raise ValueError(f"`popularity` must be one of the {possible}. Got {popularity}.")
+
+    @classmethod
+    def _validate_time_attributes(
+        cls, period: tp.Optional[timedelta], begin_from: tp.Optional[datetime]
+    ) -> None:
+        if period is not None and begin_from is not None:
+            raise ValueError("Only one of `period` and `begin_from` can be set")
+
+    @classmethod
+    def _filter_interactions(
+        cls, interactions: pd.DataFrame, period: tp.Optional[timedelta], begin_from: tp.Optional[datetime]
+    ) -> pd.DataFrame:
+        if begin_from is not None:
+            interactions = interactions.loc[interactions[Columns.Datetime] >= begin_from]
+        elif period is not None:
+            begin_from = interactions[Columns.Datetime].max() - period
+            interactions = interactions.loc[interactions[Columns.Datetime] >= begin_from]
+        return interactions
+
+    @classmethod
+    def _get_groupby_col_and_agg_func(cls, popularity: Popularity) -> tp.Tuple[str, str]:
+        if popularity == Popularity.N_USERS:
+            return Columns.User, "nunique"
+        if popularity == Popularity.N_INTERACTIONS:
+            return Columns.User, "count"
+        if popularity == Popularity.MEAN_WEIGHT:
+            return Columns.Weight, "mean"
+        if popularity == Popularity.SUM_WEIGHT:
+            return Columns.Weight, "sum"
+        raise ValueError(f"Unexpected popularity {popularity}")
+
+
+class PopularModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBase[PopularModelConfig]):
+    """Recommend items by popularity.
+
+    popularity: how to score items; period/begin_from restrict the time window;
+    add_cold appends zero-score cold items; inverse selects least popular.
+    """
+
+    recommends_for_warm = False
+    recommends_for_cold = True
+
+    config_class = PopularModelConfig
+
+    def __init__(
+        self,
+        popularity: PopularityOptions = "n_users",
+        period: tp.Optional[timedelta] = None,
+        begin_from: tp.Optional[datetime] = None,
+        add_cold: bool = False,
+        inverse: bool = False,
+        verbose: int = 0,
+    ):
+        super().__init__(verbose=verbose)
+        self.popularity = self._validate_popularity(popularity)
+        self._validate_time_attributes(period, begin_from)
+        self.period = period
+        self.begin_from = begin_from
+        self.add_cold = add_cold
+        self.inverse = inverse
+        self.popularity_list: tp.Tuple[np.ndarray, np.ndarray]
+
+    def _get_config(self) -> PopularModelConfig:
+        return PopularModelConfig(
+            cls=self.__class__,
+            popularity=self.popularity,
+            period=self.period,
+            begin_from=self.begin_from,
+            add_cold=self.add_cold,
+            inverse=self.inverse,
+            verbose=self.verbose,
+        )
+
+    @classmethod
+    def _from_config(cls, config: PopularModelConfig) -> tpe.Self:
+        return cls(
+            popularity=config.popularity.value,
+            period=config.period,
+            begin_from=config.begin_from,
+            add_cold=config.add_cold,
+            inverse=config.inverse,
+            verbose=config.verbose,
+        )
+
+    def _fit(self, dataset: Dataset) -> None:
+        interactions = self._filter_interactions(dataset.interactions.df, self.period, self.begin_from)
+        col, func = self._get_groupby_col_and_agg_func(self.popularity)
+        items_scores = interactions.groupby(Columns.Item)[col].agg(func).sort_values(ascending=False)
+        items = items_scores.index.to_numpy()
+        scores = items_scores.to_numpy().astype(float)
+
+        if self.add_cold:
+            cold_items = np.setdiff1d(dataset.item_id_map.internal_ids, items)
+            items = np.concatenate((items, cold_items))
+            scores = np.concatenate((scores, np.zeros(cold_items.size)))
+
+        if self.inverse:
+            items = items[::-1]
+            scores = scores[::-1]
+
+        self.popularity_list = (items, scores)
+
+    def _get_filtered_popularity_list(
+        self, sorted_item_ids_to_recommend: tp.Optional[np.ndarray]
+    ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        items, scores = self.popularity_list
+        if sorted_item_ids_to_recommend is not None:
+            mask = np.isin(items, sorted_item_ids_to_recommend)
+            items, scores = items[mask], scores[mask]
+        return items, scores
+
+    def _recommend_u2i(
+        self,
+        user_ids: np.ndarray,
+        dataset: Dataset,
+        k: int,
+        filter_viewed: bool,
+        sorted_item_ids_to_recommend: tp.Optional[np.ndarray],
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        items, scores = self._get_filtered_popularity_list(sorted_item_ids_to_recommend)
+        if len(items) == 0:
+            return np.array([]), np.array([]), np.array([])
+
+        n_total = dataset.item_id_map.size
+        # Order value: position in the popularity list, higher = better.
+        order_val = np.zeros((n_total, 1), dtype=np.float32)
+        order_val[items, 0] = np.arange(len(items), 0, -1, dtype=np.float32)
+        score_lookup = np.zeros(n_total, dtype=np.float32)
+        score_lookup[items] = scores
+
+        if filter_viewed:
+            user_items = dataset.get_user_item_matrix(include_weights=False)
+            filter_csr = user_items[user_ids]
+        else:
+            filter_csr = None
+
+        subjects = np.ones((dataset.user_id_map.size, 1), dtype=np.float32)
+        ranker = TPURanker(Distance.DOT, subjects, order_val)
+        subj, obj, _ = ranker.rank(
+            subject_ids=user_ids,
+            k=k,
+            filter_pairs_csr=filter_csr,
+            sorted_object_whitelist=np.sort(items),
+        )
+        return subj, obj, score_lookup[obj]
+
+    def _recommend_i2i(
+        self,
+        target_ids: np.ndarray,
+        dataset: Dataset,
+        k: int,
+        sorted_item_ids_to_recommend: tp.Optional[np.ndarray],
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        items, scores = self._get_filtered_popularity_list(sorted_item_ids_to_recommend)
+        single_reco = items[:k]
+        single_scores = scores[:k]
+        n_targets = len(target_ids)
+        return (
+            np.repeat(target_ids, len(single_reco)),
+            np.tile(single_reco, n_targets),
+            np.tile(single_scores, n_targets),
+        )
+
+    def _get_cold_reco(
+        self, dataset: Dataset, k: int, sorted_item_ids_to_recommend: tp.Optional[np.ndarray]
+    ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        items, scores = self._get_filtered_popularity_list(sorted_item_ids_to_recommend)
+        return items[:k], scores[:k]

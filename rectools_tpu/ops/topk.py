@@ -95,6 +95,104 @@ def _score_mask_topk(
     return top_idx, report, valid
 
 
+@partial(jax.jit, static_argnames=("k", "n_pad"))
+def _random_mask_topk(
+    key: jax.Array,
+    seen_idx: jax.Array,  # (B, S) int32, fill >= n_pad
+    n_valid_objects: jax.Array,  # () int32
+    n_pad: int,
+    k: int,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Uniform-random ranking with seen-filtering: returns (top_idx, valid).
+
+    Backs RandomModel: per-(subject, object) iid uniform scores, same masking
+    path as the MIPS kernel, so random recommendation also runs on device
+    instead of a per-user host loop (reference random.py:61 loops users).
+    """
+    b = seen_idx.shape[0]
+    scores = jax.random.uniform(key, (b, n_pad), dtype=jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    scores = jnp.where(col_ids < n_valid_objects, scores, _NEG_INF)
+    rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
+    scores = scores.at[rows, seen_idx].set(_NEG_INF, mode="drop")
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    valid = top_scores > (_NEG_INF / 2)
+    return top_idx, valid
+
+
+def random_rank_topk(
+    rng_key: jax.Array,
+    n_objects: int,
+    subject_ids: np.ndarray,
+    k: int,
+    filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
+    sorted_object_whitelist: tp.Optional[np.ndarray] = None,
+    batch_size: int = 1024,
+) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random top-k per subject with seen/whitelist filtering on device.
+
+    Returned scores are per-subject descending ranks (n_reco..1), matching the
+    reference RandomModel contract.
+    """
+    if sorted_object_whitelist is not None:
+        n_candidates = len(sorted_object_whitelist)
+    else:
+        n_candidates = n_objects
+    n_pad = max(128, int(math.ceil(n_candidates / 128)) * 128)
+    fill = n_pad + 1
+    k_eff = min(k, n_candidates)
+
+    all_subj: tp.List[np.ndarray] = []
+    all_obj: tp.List[np.ndarray] = []
+    all_scores: tp.List[np.ndarray] = []
+
+    n_batches = math.ceil(len(subject_ids) / batch_size)
+    keys = jax.random.split(rng_key, max(n_batches, 1))
+
+    for bi, start in enumerate(range(0, len(subject_ids), batch_size)):
+        batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
+        batch_subject_ids = subject_ids[batch_pos]
+        b = len(batch_pos)
+        b_pad = _next_pow2(b, minimum=8)
+
+        if filter_pairs_csr is not None:
+            seen_orig = _csr_rows_to_padded_idx(filter_pairs_csr, batch_pos, fill=-1)
+            if sorted_object_whitelist is not None and seen_orig.shape[1] > 0:
+                pos = np.searchsorted(sorted_object_whitelist, seen_orig)
+                pos_clipped = np.clip(pos, 0, len(sorted_object_whitelist) - 1)
+                hit = (seen_orig >= 0) & (sorted_object_whitelist[pos_clipped] == seen_orig)
+                seen_b = np.where(hit, pos_clipped, fill).astype(np.int32)
+            else:
+                seen_b = np.where(seen_orig >= 0, seen_orig, fill).astype(np.int32)
+            s_pad = _next_pow2(max(seen_b.shape[1], 1), minimum=8)
+            seen = np.full((b_pad, s_pad), fill, dtype=np.int32)
+            seen[:b, : seen_b.shape[1]] = seen_b
+        else:
+            seen = np.full((b_pad, 8), fill, dtype=np.int32)
+
+        idx, valid = _random_mask_topk(keys[bi], jnp.asarray(seen), jnp.int32(n_candidates), n_pad, k_eff)
+        idx = np.asarray(idx[:b])
+        valid = np.asarray(valid[:b])
+        counts = valid.sum(axis=1)
+        flat_valid = valid.ravel()
+        flat_idx = idx.ravel()[flat_valid]
+        if sorted_object_whitelist is not None:
+            obj_ids = sorted_object_whitelist[flat_idx].astype(np.int64)
+        else:
+            obj_ids = flat_idx.astype(np.int64)
+        all_subj.append(np.repeat(batch_subject_ids.astype(np.int64), counts))
+        all_obj.append(obj_ids)
+        # Scores: n_reco..1 per subject.
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        positions = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(starts, counts)
+        all_scores.append((np.repeat(counts, counts) - positions).astype(np.float32))
+
+    if not all_subj:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.int64), np.array([], dtype=np.float32))
+    return (np.concatenate(all_subj), np.concatenate(all_obj), np.concatenate(all_scores))
+
+
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
