@@ -1,4 +1,5 @@
 from .base import FixedColdRecoModelMixin, ModelBase, ModelConfig
+from .als import ALSModel, ALSModelConfig
 from .ease import EASEModel, EASEModelConfig
 from .popular import PopularModel, PopularModelConfig, Popularity
 from .pure_svd import PureSVDModel, PureSVDModelConfig
@@ -9,6 +10,8 @@ from .vector import Factors, VectorModel
 
 __all__ = [
     "FixedColdRecoModelMixin",
+    "ALSModel",
+    "ALSModelConfig",
     "ModelBase",
     "ModelConfig",
     "EASEModel",
