@@ -1,3 +1,5 @@
+from .bpr import BPRModel, BPRModelConfig
+from .item_knn import ItemKNNModel, ItemKNNModelConfig
 from .base import FixedColdRecoModelMixin, ModelBase, ModelConfig
 from .als import ALSModel, ALSModelConfig
 from .ease import EASEModel, EASEModelConfig
@@ -12,6 +14,10 @@ __all__ = [
     "FixedColdRecoModelMixin",
     "ALSModel",
     "ALSModelConfig",
+    "BPRModel",
+    "BPRModelConfig",
+    "ItemKNNModel",
+    "ItemKNNModelConfig",
     "ModelBase",
     "ModelConfig",
     "EASEModel",
