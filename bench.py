@@ -1,0 +1,146 @@
+"""Headline benchmark: SASRec training throughput (examples/s/chip).
+
+Workload mirrors BASELINE.json's "SASRec n_factors=64" config at ML-1M catalog
+scale: batch 128, session length 100, full-catalog softmax loss (the
+reference's default and its compute-dominant path, O(B*L*n_items*d) logits —
+rectools/models/nn/transformers/similarity.py:84-86).
+
+``vs_baseline`` is measured in-process against an equivalent torch CPU train
+step (the reference's execution substrate for users without CUDA; RecTools
+publishes no absolute throughput numbers — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+B, L, D, N_ITEMS, HEADS, BLOCKS = 128, 100, 64, 3708, 4, 2
+WARMUP_STEPS, BENCH_STEPS = 3, 20
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from functools import partial
+
+    from __graft_entry__ import _build_flagship
+    from rectools_tpu.models.nn.transformers.losses import softmax_loss
+
+    backbone = _build_flagship(n_items=N_ITEMS, session_max_len=L, n_factors=D, n_heads=HEADS, n_blocks=BLOCKS)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "y": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "yw": jnp.ones((B, L), jnp.float32),
+    }
+    params = backbone.init(jax.random.PRNGKey(0), {"x": batch["x"]}, deterministic=True)["params"]
+    tx = optax.adam(1e-3, b1=0.9, b2=0.98)
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        def loss_of(p):
+            logits = backbone.apply({"params": p}, batch, deterministic=True)
+            return softmax_loss(logits, batch["y"], batch["yw"])
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    for _ in range(WARMUP_STEPS):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return B * BENCH_STEPS / dt
+
+
+def bench_torch_cpu(max_seconds: float = 60.0) -> float:
+    """Equivalent torch CPU train step (reference substrate)."""
+    import torch
+
+    torch.manual_seed(0)
+
+    class Block(torch.nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.mha = torch.nn.MultiheadAttention(D, HEADS, 0.0, batch_first=True)
+            self.ln1 = torch.nn.LayerNorm(D)
+            self.ln2 = torch.nn.LayerNorm(D)
+            self.ff1 = torch.nn.Linear(D, D)
+            self.ff2 = torch.nn.Linear(D, D)
+
+        def forward(self, x, mask):
+            q = self.ln1(x)
+            a, _ = self.mha(q, x, x, attn_mask=mask, need_weights=False)
+            x = q + a
+            h = self.ln2(x)
+            return x + self.ff2(torch.relu(self.ff1(h)))
+
+    class Net(torch.nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.emb = torch.nn.Embedding(N_ITEMS, D, padding_idx=0)
+            self.pos = torch.nn.Embedding(L, D)
+            self.blocks = torch.nn.ModuleList([Block() for _ in range(BLOCKS)])
+            self.ln = torch.nn.LayerNorm(D)
+
+        def forward(self, x, mask):
+            item_embs = self.emb.weight
+            h = item_embs[x] + self.pos.weight[None]
+            for b in self.blocks:
+                h = b(h, mask)
+            h = self.ln(h)
+            return h @ item_embs.T
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3, betas=(0.9, 0.98))
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.integers(1, N_ITEMS, size=(B, L)))
+    y = torch.from_numpy(rng.integers(1, N_ITEMS, size=(B, L)))
+    mask = ~torch.tril(torch.ones(L, L, dtype=torch.bool))
+
+    def step() -> None:
+        opt.zero_grad()
+        logits = net(x, mask)
+        loss = torch.nn.functional.cross_entropy(logits.transpose(1, 2), y, ignore_index=0)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n, t0 = 0, time.perf_counter()
+    while n < BENCH_STEPS and time.perf_counter() - t0 < max_seconds:
+        step()
+        n += 1
+    dt = time.perf_counter() - t0
+    return B * n / dt
+
+
+def main() -> None:
+    jax_eps = bench_jax()
+    try:
+        torch_eps = bench_torch_cpu()
+        vs_baseline = jax_eps / torch_eps
+    except Exception:  # torch unavailable or failed — report absolute only
+        vs_baseline = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "sasrec_train_examples_per_s_per_chip",
+                "value": round(jax_eps, 2),
+                "unit": "examples/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -82,11 +82,15 @@ class Dataset:
     @property
     def n_hot_users(self) -> int:
         """Users 0..n_hot-1 are present in interactions; the rest are warm."""
+        if len(self.interactions.df) == 0:
+            return 0
         return int(self.interactions.df[Columns.User].max()) + 1
 
     @property
     def n_hot_items(self) -> int:
         """Items 0..n_hot-1 are present in interactions; the rest are warm."""
+        if len(self.interactions.df) == 0:
+            return 0
         return int(self.interactions.df[Columns.Item].max()) + 1
 
     def get_hot_user_features(self) -> tp.Optional[Features]:

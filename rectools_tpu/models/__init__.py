@@ -1,14 +1,18 @@
-from .bpr import BPRModel, BPRModelConfig
-from .item_knn import ItemKNNModel, ItemKNNModelConfig
 from .base import FixedColdRecoModelMixin, ModelBase, ModelConfig
 from .als import ALSModel, ALSModelConfig
+from .bpr import BPRModel, BPRModelConfig
 from .ease import EASEModel, EASEModelConfig
+from .item_knn import ItemKNNModel, ItemKNNModelConfig
 from .popular import PopularModel, PopularModelConfig, Popularity
+from .popular_in_category import PopularInCategoryModel, PopularInCategoryModelConfig
 from .pure_svd import PureSVDModel, PureSVDModelConfig
 from .random import RandomModel, RandomModelConfig
 from .rank import Distance, Ranker, TPURanker
 from .serialization import load_model, model_from_config, model_from_params
 from .vector import Factors, VectorModel
+from .nn.transformers.sasrec import SASRecModel, SASRecModelConfig
+from .nn.transformers.bert4rec import BERT4RecModel, BERT4RecModelConfig
+from .nn.transformers.hstu import HSTUModel, HSTUModelConfig
 
 __all__ = [
     "FixedColdRecoModelMixin",
@@ -23,6 +27,8 @@ __all__ = [
     "EASEModel",
     "EASEModelConfig",
     "PopularModel",
+    "PopularInCategoryModel",
+    "PopularInCategoryModelConfig",
     "PopularModelConfig",
     "Popularity",
     "PureSVDModel",
@@ -37,4 +43,10 @@ __all__ = [
     "model_from_params",
     "Factors",
     "VectorModel",
+    "SASRecModel",
+    "SASRecModelConfig",
+    "BERT4RecModel",
+    "BERT4RecModelConfig",
+    "HSTUModel",
+    "HSTUModelConfig",
 ]

@@ -1,0 +1,78 @@
+"""Training losses for sequential transformers.
+
+Pure jnp functions; math follows reference
+rectools/models/nn/transformers/lightning.py:144-212 exactly:
+
+- softmax: CE over full catalog, pad target (id 0) ignored, weighted by yw,
+  normalized by the count of contributing positions.
+- BCE: positive at candidate index 0 vs n negatives.
+- gBCE: gSASRec calibration of the positive logit (arXiv 2308.07192) then BCE.
+- sampled_softmax: positive swapped to index 1, CE with pad-ignore.
+"""
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """CE over catalog. logits (B, L, N); y (B, L) int targets; w (B, L) weights.
+
+    Positions with y == 0 (PAD) are excluded; loss = sum(w * CE) / count of
+    positions with nonzero contribution (reference lightning.py:145-162).
+    """
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logprobs, y[..., None], axis=-1)[..., 0]  # (B, L)
+    ce = jnp.where(y == 0, 0.0, ce)
+    loss = ce * w
+    n = (loss > 0).astype(loss.dtype)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(n), 1.0)
+
+
+def bce_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """BCE vs 1 positive (index 0) + negatives. logits (B, L, 1 + n_neg)
+    (reference lightning.py:188-199)."""
+    mask = (y != 0).astype(logits.dtype)
+    target = jnp.zeros_like(logits).at[:, :, 0].set(1.0)
+    # log-sigmoid BCE, numerically stable
+    per_logit = jnp.maximum(logits, 0.0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = per_logit.mean(axis=-1) * mask * w
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def gbce_loss(
+    logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray, n_actual_items: int, n_negatives: int, gbce_t: float
+) -> jnp.ndarray:
+    """gBCE: reduce positive-logit overconfidence then BCE
+    (reference lightning.py:164-205)."""
+    alpha = n_negatives / (n_actual_items - 1)
+    beta = alpha * (gbce_t * (1 - 1 / alpha) + 1 / alpha)
+
+    pos_logits = logits[:, :, 0:1].astype(jnp.float32)
+    neg_logits = logits[:, :, 1:].astype(jnp.float32)
+    epsilon = 1e-10
+    pos_probs = jnp.clip(jax.nn.sigmoid(pos_logits), epsilon, 1 - epsilon)
+    pos_probs_adjusted = jnp.clip(pos_probs**(-beta), 1 + epsilon, jnp.finfo(jnp.float32).max)
+    pos_probs_adjusted = jnp.clip(1.0 / (pos_probs_adjusted - 1), epsilon, jnp.finfo(jnp.float32).max)
+    pos_logits_transformed = jnp.log(pos_probs_adjusted)
+    calibrated = jnp.concatenate([pos_logits_transformed, neg_logits], axis=-1)
+    return bce_loss(calibrated, y, w)
+
+
+def sampled_softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Sampled softmax: positive moved to class index 1 (index 0 = ignore)
+    (reference lightning.py:207-212)."""
+    logits = jnp.asarray(logits)
+    swapped = logits.at[:, :, 0].set(logits[:, :, 1]).at[:, :, 1].set(logits[:, :, 0])
+    target = (y != 0).astype(jnp.int32)
+    return softmax_loss(swapped, target, w)
+
+
+def requires_negatives(loss: str) -> tp.Optional[bool]:
+    """Whether the loss trains on sampled negatives (reference lightning.py:115-124)."""
+    if loss == "softmax":
+        return False
+    if loss in ("BCE", "gBCE", "sampled_softmax"):
+        return True
+    return None

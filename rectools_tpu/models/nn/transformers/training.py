@@ -1,0 +1,370 @@
+"""Training module: the TPU-native replacement for the reference's
+pytorch-lightning module (rectools/models/nn/transformers/lightning.py:34-449).
+
+One jit-compiled train step (forward + loss + Adam update, donated state) runs
+the whole optimization on device; the host only streams fixed-shape numpy
+batches. Loss math, Adam hyper-parameters (betas 0.9/0.98), Xavier-normal
+init of all >1-dim parameters, validation on the last position only, and the
+u2i/i2i recommend paths all follow the reference.
+"""
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from scipy import sparse
+
+from ...base import InternalRecoTriplet
+from ...rank import Distance, TPURanker
+from ....dataset.dataset import Dataset, DatasetSchemaDict
+from ....types import ExternalIds
+from .backbone import TransformerBackboneBase
+from .data_preparator import Batch, BatchLoader, TransformerDataPreparatorBase
+from .losses import bce_loss, gbce_loss, requires_negatives, sampled_softmax_loss, softmax_loss
+
+Params = tp.Any
+
+
+def _xavier_normal_reinit(params: Params, rng: jax.Array) -> Params:
+    """Re-init every parameter with ndim > 1 from Xavier-normal, mirroring the
+    reference's on_train_start hook (lightning.py:296-299, 366-369)."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    new_leaves = []
+    for leaf, key in zip(leaves, keys):
+        if hasattr(leaf, "ndim") and leaf.ndim > 1:
+            fan_out = leaf.shape[0]
+            fan_in = int(np.prod(leaf.shape[1:]))
+            std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+            new_leaves.append(jax.random.normal(key, leaf.shape, leaf.dtype) * std)
+        else:
+            new_leaves.append(leaf)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def pad_batch(batch: Batch, batch_size: int) -> Batch:
+    """Zero-pad a batch to the static batch size (TPU needs fixed shapes;
+    padded rows have y==0 / yw==0 so they never contribute to the loss)."""
+    n = batch["x"].shape[0]
+    if n == batch_size:
+        return batch
+    out = {}
+    for key, arr in batch.items():
+        pad_width = [(0, batch_size - n)] + [(0, 0)] * (arr.ndim - 1)
+        out[key] = np.pad(arr, pad_width)
+    return out
+
+
+class TransformerTrainingModuleBase:
+    """Base class for training modules; subclass and pass via
+    ``training_module_type`` to change the training procedure."""
+
+    u2i_dist_available = [Distance.DOT, Distance.COSINE]
+    epsilon_cosine_dist = 1e-8
+
+    def __init__(
+        self,
+        backbone: TransformerBackboneBase,
+        model_config: tp.Dict[str, tp.Any],
+        dataset_schema: DatasetSchemaDict,
+        item_external_ids: ExternalIds,
+        item_extra_tokens: tp.Sequence[tp.Any],
+        data_preparator: TransformerDataPreparatorBase,
+        lr: float,
+        gbce_t: float,
+        loss: str,
+        verbose: int = 0,
+        train_loss_name: str = "train_loss",
+        val_loss_name: str = "val_loss",
+        adam_betas: tp.Tuple[float, float] = (0.9, 0.98),
+        logits_t: float = 1,
+        seed: int = 0,
+        **kwargs: tp.Any,
+    ) -> None:
+        self.backbone = backbone
+        self.model_config = model_config
+        self.dataset_schema = dataset_schema
+        self.item_external_ids = item_external_ids
+        self.item_extra_tokens = item_extra_tokens
+        self.data_preparator = data_preparator
+        self.lr = lr
+        self.loss = loss
+        self.gbce_t = gbce_t
+        self.adam_betas = adam_betas
+        self.verbose = verbose
+        self.train_loss_name = train_loss_name
+        self.val_loss_name = val_loss_name
+        self.logits_t = logits_t
+        self.seed = seed
+
+        self._requires_negatives = requires_negatives(loss)
+        self.is_fitted = False
+        self.params: tp.Optional[Params] = None
+        self.opt_state: tp.Optional[tp.Any] = None
+        self.epochs_completed = 0
+        self.global_step = 0
+        self.train_loss_history: tp.List[float] = []
+        self.val_loss_history: tp.List[float] = []
+
+    def fit(
+        self,
+        train_loader_factory: tp.Callable[[np.random.Generator], BatchLoader],
+        val_loader_factory: tp.Callable[[np.random.Generator], tp.Optional[BatchLoader]],
+        max_epochs: int,
+    ) -> None:
+        raise NotImplementedError()
+
+    def recommend_u2i(self, *args: tp.Any, **kwargs: tp.Any) -> InternalRecoTriplet:
+        raise NotImplementedError()
+
+    def recommend_i2i(self, *args: tp.Any, **kwargs: tp.Any) -> InternalRecoTriplet:
+        raise NotImplementedError()
+
+
+class TransformerTrainingModule(TransformerTrainingModuleBase):
+    """Default training module (reference lightning.py:259-449)."""
+
+    i2i_dist = Distance.COSINE
+
+    # ------------------------------------------------------------------- setup
+
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        b1, b2 = self.adam_betas
+        return optax.adam(learning_rate=self.lr, b1=b1, b2=b2, eps=1e-8)
+
+    def _loss_fn(self, logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        if self.loss == "softmax":
+            return softmax_loss(logits, y, w)
+        if self.loss == "BCE":
+            return bce_loss(logits, y, w)
+        if self.loss == "gBCE":
+            n_actual_items = self.backbone.item_model.n_items - len(self.item_extra_tokens)
+            n_negatives = self.data_preparator.n_negatives
+            if n_negatives is None:  # pragma: no cover
+                raise ValueError("`n_negatives` is not defined. Please ensure that `n_negatives` is set.")
+            return gbce_loss(logits, y, w, n_actual_items, n_negatives, self.gbce_t)
+        if self.loss == "sampled_softmax":
+            return sampled_softmax_loss(logits, y, w)
+        return self._calc_custom_loss(logits, y, w)
+
+    def _calc_custom_loss(self, logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        raise ValueError(f"loss {self.loss} is not supported")
+
+    def _batch_logits(self, params: Params, batch: tp.Dict[str, jnp.ndarray], dropout_rng: tp.Optional[jax.Array]) -> jnp.ndarray:
+        """Forward pass -> logits / logits_t (reference lightning.py:301-309)."""
+        deterministic = dropout_rng is None
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        if self._requires_negatives:
+            y, negatives = batch["y"], batch["negatives"]
+            pos_neg = jnp.concatenate([y[..., None], negatives], axis=-1)
+            logits = self.backbone.apply(
+                {"params": params}, batch, candidate_item_ids=pos_neg, deterministic=deterministic, rngs=rngs
+            )
+        else:
+            logits = self.backbone.apply(
+                {"params": params}, batch, deterministic=deterministic, rngs=rngs
+            )
+        return logits / self.logits_t
+
+    # ------------------------------------------------------------- jitted steps
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def _train_step(
+        self, params: Params, opt_state: tp.Any, batch: tp.Dict[str, jnp.ndarray], dropout_rng: jax.Array
+    ) -> tp.Tuple[Params, tp.Any, jnp.ndarray]:
+        def loss_of(p: Params) -> jnp.ndarray:
+            logits = self._batch_logits(p, batch, dropout_rng)
+            return self._loss_fn(logits, batch["y"], batch["yw"])
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = self._make_optimizer().update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _val_step(self, params: Params, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        logits = self._batch_logits(params, batch, None)[:, -1:, :]
+        return self._loss_fn(logits, batch["y"], batch["yw"])
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _encode_last(self, params: Params, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Session-tower output of the last position for each session."""
+
+        def encode(module: tp.Any, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
+            item_embs = module.item_model.embed_catalog(deterministic=True)
+            session_embs = module.encode_sessions(batch, item_embs, deterministic=True)
+            return module.similarity_module.session_tower_forward(session_embs[:, -1, :])
+
+        return self.backbone.apply({"params": params}, batch, method=encode)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _catalog_item_embs(self, params: Params) -> jnp.ndarray:
+        def embed(module: tp.Any) -> jnp.ndarray:
+            return module.item_model.embed_catalog(deterministic=True)
+
+        return self.backbone.apply({"params": params}, method=embed)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _catalog_item_tower(self, params: Params) -> jnp.ndarray:
+        def embed(module: tp.Any) -> jnp.ndarray:
+            return module.similarity_module.item_tower_forward(module.item_model.embed_catalog(deterministic=True))
+
+        return self.backbone.apply({"params": params}, method=embed)
+
+    # -------------------------------------------------------------------- init
+
+    def init_params(self, sample_batch: Batch) -> None:
+        """Initialize params (flax init + Xavier-normal re-init) and optimizer."""
+        init_rng, xavier_rng = jax.random.split(jax.random.PRNGKey(self.seed))
+        device_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        candidate = None
+        if self._requires_negatives and "negatives" in sample_batch:
+            candidate = jnp.concatenate([device_batch["y"][..., None], device_batch["negatives"]], axis=-1)
+        variables = self.backbone.init(
+            {"params": init_rng}, device_batch, candidate_item_ids=candidate, deterministic=True
+        )
+        params = variables["params"]
+        params = _xavier_normal_reinit(params, xavier_rng)
+        self.params = params
+        self.opt_state = self._make_optimizer().init(params)
+
+    # --------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        train_loader_factory: tp.Callable[[np.random.Generator], BatchLoader],
+        val_loader_factory: tp.Callable[[np.random.Generator], tp.Optional[BatchLoader]],
+        max_epochs: int,
+    ) -> None:
+        """Epoch loop. Loaders come from factories so each fit/fit_partial call
+        re-derives its host rng stream from the module seed and epoch counter
+        (deterministic refits)."""
+        host_rng = np.random.default_rng(np.random.SeedSequence(entropy=(self.seed, self.epochs_completed)))
+        train_loader = train_loader_factory(host_rng)
+        val_loader = val_loader_factory(host_rng)
+
+        if self.params is None:
+            first_batch = next(iter(train_loader))
+            self.init_params(pad_batch(first_batch, train_loader.batch_size))
+
+        dropout_key = jax.random.PRNGKey(self.seed + 1)
+
+        for _ in range(max_epochs):
+            epoch_losses = []
+            for batch in train_loader:
+                batch = pad_batch(batch, train_loader.batch_size)
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                step_rng = jax.random.fold_in(dropout_key, self.global_step)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, device_batch, step_rng
+                )
+                self.global_step += 1
+                epoch_losses.append(loss)
+            if epoch_losses:
+                self.train_loss_history.append(float(jnp.mean(jnp.stack(epoch_losses))))
+            if val_loader is not None:
+                val_losses = []
+                for batch in val_loader:
+                    batch = pad_batch(batch, val_loader.batch_size)
+                    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    val_losses.append(self._val_step(self.params, device_batch))
+                if val_losses:
+                    self.val_loss_history.append(float(jnp.mean(jnp.stack(val_losses))))
+            self.epochs_completed += 1
+            if self.verbose > 0:
+                msg = f"epoch {self.epochs_completed}: {self.train_loss_name}={self.train_loss_history[-1]:.5f}"
+                if val_loader is not None and self.val_loss_history:
+                    msg += f" {self.val_loss_name}={self.val_loss_history[-1]:.5f}"
+                print(msg)
+
+        self.is_fitted = True
+
+    # --------------------------------------------------------------- inference
+
+    def _get_user_item_embeddings(self, recommend_loader: BatchLoader) -> tp.Tuple[np.ndarray, np.ndarray]:
+        """Materialize user (last-position) and item tower outputs
+        (reference lightning.py:378-400)."""
+        user_embs: tp.List[np.ndarray] = []
+        for batch in recommend_loader:
+            n = batch["x"].shape[0]
+            batch = pad_batch(batch, recommend_loader.batch_size)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            embs = self._encode_last(self.params, device_batch)
+            user_embs.append(np.asarray(embs[:n]))
+        item_embs = np.asarray(self._catalog_item_tower(self.params))
+        return np.concatenate(user_embs, axis=0), item_embs
+
+    def recommend_u2i(
+        self,
+        user_ids: np.ndarray,
+        recommend_loader: BatchLoader,
+        sorted_item_ids_to_recommend: np.ndarray,
+        k: int,
+        dataset: Dataset,
+        filter_viewed: bool,
+    ) -> InternalRecoTriplet:
+        """U2I: batch-encode sessions then rank on the TPU top-k engine
+        (reference lightning.py:402-426)."""
+        ui_csr_for_filter = None
+        if filter_viewed:
+            ui_csr_for_filter = dataset.get_user_item_matrix(include_weights=False, include_warm_items=True)[user_ids]
+        user_embs, item_embs = self._get_user_item_embeddings(recommend_loader)
+        return self.backbone.similarity_module.recommend_u2i(
+            user_embs=user_embs,
+            item_embs=item_embs,
+            user_ids=np.asarray(user_ids),
+            k=k,
+            sorted_item_ids_to_recommend=sorted_item_ids_to_recommend,
+            ui_csr_for_filter=ui_csr_for_filter,
+        )
+
+    def recommend_i2i(
+        self,
+        target_ids: np.ndarray,
+        sorted_item_ids_to_recommend: np.ndarray,
+        k: int,
+    ) -> InternalRecoTriplet:
+        """I2I: cosine ranking over raw item-net embeddings
+        (reference lightning.py:428-449)."""
+        item_embs = np.asarray(self._catalog_item_embs(self.params))
+        ranker = TPURanker(
+            distance=self.i2i_dist,
+            subjects_factors=item_embs,
+            objects_factors=item_embs,
+        )
+        return ranker.rank(
+            subject_ids=target_ids,
+            k=k,
+            filter_pairs_csr=None,
+            sorted_object_whitelist=sorted_item_ids_to_recommend,
+        )
+
+    # ------------------------------------------------------------- state (ckpt)
+
+    def get_state(self) -> tp.Dict[str, tp.Any]:
+        """Checkpoint payload: numpy param/optimizer trees + counters."""
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "epochs_completed": self.epochs_completed,
+            "global_step": self.global_step,
+            "train_loss_history": list(self.train_loss_history),
+            "val_loss_history": list(self.val_loss_history),
+            "is_fitted": self.is_fitted,
+        }
+
+    def set_state(self, state: tp.Dict[str, tp.Any], sample_batch: Batch) -> None:
+        """Restore from checkpoint payload; ``sample_batch`` rebuilds the
+        parameter tree structure before loading values."""
+        self.init_params(sample_batch)
+        loaded_params = state["params"]
+        self.params = jax.tree.map(lambda ref, val: jnp.asarray(val), self.params, loaded_params)
+        self.opt_state = jax.tree.map(lambda ref, val: jnp.asarray(val), self.opt_state, state["opt_state"])
+        self.epochs_completed = state["epochs_completed"]
+        self.global_step = state["global_step"]
+        self.train_loss_history = list(state["train_loss_history"])
+        self.val_loss_history = list(state["val_loss_history"])
+        self.is_fitted = state["is_fitted"]

@@ -17,3 +17,14 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_compilation_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+# Some CI images install a TPU-tunnel PJRT plugin through sitecustomize that
+# calls jax.config.update("jax_platforms", ...) at interpreter start, which
+# overrides the env var above. Re-assert the CPU platform through the config
+# API after importing jax — the last write before first backend use wins.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - config name drift
+    pass
