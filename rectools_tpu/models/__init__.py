@@ -2,6 +2,7 @@ from .base import FixedColdRecoModelMixin, ModelBase, ModelConfig
 from .als import ALSModel, ALSModelConfig
 from .bpr import BPRModel, BPRModelConfig
 from .ease import EASEModel, EASEModelConfig
+from .hybrid_mf import HybridMFModel, HybridMFModelConfig
 from .item_knn import ItemKNNModel, ItemKNNModelConfig
 from .popular import PopularModel, PopularModelConfig, Popularity
 from .popular_in_category import PopularInCategoryModel, PopularInCategoryModelConfig
@@ -10,6 +11,7 @@ from .random import RandomModel, RandomModelConfig
 from .rank import Distance, Ranker, TPURanker
 from .serialization import load_model, model_from_config, model_from_params
 from .vector import Factors, VectorModel
+from .nn.dssm import DSSMModel, DSSMModelConfig
 from .nn.transformers.sasrec import SASRecModel, SASRecModelConfig
 from .nn.transformers.bert4rec import BERT4RecModel, BERT4RecModelConfig
 from .nn.transformers.hstu import HSTUModel, HSTUModelConfig
@@ -26,6 +28,8 @@ __all__ = [
     "ModelConfig",
     "EASEModel",
     "EASEModelConfig",
+    "HybridMFModel",
+    "HybridMFModelConfig",
     "PopularModel",
     "PopularInCategoryModel",
     "PopularInCategoryModelConfig",
@@ -43,6 +47,8 @@ __all__ = [
     "model_from_params",
     "Factors",
     "VectorModel",
+    "DSSMModel",
+    "DSSMModelConfig",
     "SASRecModel",
     "SASRecModelConfig",
     "BERT4RecModel",
