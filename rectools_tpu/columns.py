@@ -16,6 +16,7 @@ class Columns:
     Datetime = "datetime"
     Rank = "rank"
     Score = "score"
+    Target = "target"
     Model = "model"
     Split = "i_split"
 
