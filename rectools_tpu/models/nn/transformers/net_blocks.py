@@ -14,6 +14,8 @@ import typing as tp
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ....ops.attention import dot_product_attention
+
 MASK_VALUE = -1e9  # additive attention-bias "minus infinity"
 
 
@@ -46,13 +48,19 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, l, self.n_heads, head_dim)
         k = k.reshape(b, l, self.n_heads, head_dim)
         v = v.reshape(b, l, self.n_heads, head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(head_dim, dtype=scores.dtype))
-        if attn_bias is not None:
-            scores = scores + attn_bias
-        probs = nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        scale = 1.0 / float(head_dim) ** 0.5
+
+        if deterministic or self.dropout_rate == 0.0:
+            # Pallas fused attention on TPU, jnp path elsewhere
+            out = dot_product_attention(q, k, v, attn_bias, scale)
+        else:
+            # attention-probability dropout needs materialized probs
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+            if attn_bias is not None:
+                scores = scores + attn_bias
+            probs = nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
         out = out.reshape(b, l, self.n_factors)
         return nn.Dense(self.n_factors, name="out_proj")(out)
 

@@ -15,17 +15,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 from scipy import sparse
 
 from ...base import InternalRecoTriplet
 from ...rank import Distance, TPURanker
 from ....dataset.dataset import Dataset, DatasetSchemaDict
+from ....parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 from ....types import ExternalIds
 from .backbone import TransformerBackboneBase
 from .data_preparator import Batch, BatchLoader, TransformerDataPreparatorBase
 from .losses import bce_loss, gbce_loss, requires_negatives, sampled_softmax_loss, softmax_loss
 
 Params = tp.Any
+
+# parameter names sharded over the model axis: the big item-vocabulary tables
+# (id embeddings and categorical-feature embeddings). They shard over the
+# FEATURE dimension (n_factors), which is a power of two by construction —
+# vocabulary sizes are arbitrary (n_items + extra tokens) and row-sharding
+# them would require padded vocabularies with masked logits. With the
+# contraction dim sharded, XLA turns the full-catalog logits einsum into
+# partial products + a psum over ICI (SURVEY.md §2.9 TP plan).
+_MODEL_SHARDED_PARAM_NAMES = ("ids_emb", "cat_emb")
 
 
 def _xavier_normal_reinit(params: Params, rng: jax.Array) -> Params:
@@ -82,9 +93,12 @@ class TransformerTrainingModuleBase:
         adam_betas: tp.Tuple[float, float] = (0.9, 0.98),
         logits_t: float = 1,
         seed: int = 0,
+        mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
+        self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
+        self._mesh = None
         self.model_config = model_config
         self.dataset_schema = dataset_schema
         self.item_external_ids = item_external_ids
@@ -214,6 +228,55 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
 
         return self.backbone.apply({"params": params}, method=embed)
 
+    # ---------------------------------------------------------------- sharding
+
+    def _get_mesh(self):
+        if self.mesh_shape is None:
+            return None
+        if self._mesh is None:
+            self._mesh = make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
+        return self._mesh
+
+    def _shard_params(self, params: Params) -> Params:
+        """Place params on the mesh: item-vocabulary tables row-sharded over
+        the model axis, everything else replicated. Optimizer state created
+        from sharded params inherits the same layout."""
+        mesh = self._get_mesh()
+        if mesh is None:
+            return params
+
+        n_model = self.mesh_shape[1]
+
+        def place(path: tp.Tuple[tp.Any, ...], leaf: jnp.ndarray) -> jnp.ndarray:
+            names = tuple(getattr(p, "key", getattr(p, "name", "")) for p in path)
+            if (
+                leaf.ndim >= 2
+                and any(n in _MODEL_SHARDED_PARAM_NAMES for n in names)
+                and leaf.shape[-1] % n_model == 0
+            ):
+                spec = P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
+            else:
+                spec = P()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map_with_path(place, params)
+
+    def _device_batch(self, batch: Batch) -> tp.Dict[str, jnp.ndarray]:
+        """Move a host batch to device; batch axis sharded over `data`."""
+        mesh = self._get_mesh()
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        out = {}
+        for key, arr in batch.items():
+            if arr.shape[0] % self.mesh_shape[0] != 0:
+                raise ValueError(
+                    f"Batch size {arr.shape[0]} must be divisible by the data-axis size "
+                    f"{self.mesh_shape[0]} for sharded training"
+                )
+            spec = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
+            out[key] = jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+        return out
+
     # -------------------------------------------------------------------- init
 
     def init_params(self, sample_batch: Batch) -> None:
@@ -228,6 +291,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         )
         params = variables["params"]
         params = _xavier_normal_reinit(params, xavier_rng)
+        params = self._shard_params(params)
         self.params = params
         self.opt_state = self._make_optimizer().init(params)
 
@@ -256,7 +320,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             epoch_losses = []
             for batch in train_loader:
                 batch = pad_batch(batch, train_loader.batch_size)
-                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                device_batch = self._device_batch(batch)
                 step_rng = jax.random.fold_in(dropout_key, self.global_step)
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, device_batch, step_rng
@@ -269,7 +333,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 val_losses = []
                 for batch in val_loader:
                     batch = pad_batch(batch, val_loader.batch_size)
-                    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    device_batch = self._device_batch(batch)
                     val_losses.append(self._val_step(self.params, device_batch))
                 if val_losses:
                     self.val_loss_history.append(float(jnp.mean(jnp.stack(val_losses))))
@@ -291,7 +355,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         for batch in recommend_loader:
             n = batch["x"].shape[0]
             batch = pad_batch(batch, recommend_loader.batch_size)
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}  # recommend stays single-device
             embs = self._encode_last(self.params, device_batch)
             user_embs.append(np.asarray(embs[:n]))
         item_embs = np.asarray(self._catalog_item_tower(self.params))
@@ -361,8 +425,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         parameter tree structure before loading values."""
         self.init_params(sample_batch)
         loaded_params = state["params"]
-        self.params = jax.tree.map(lambda ref, val: jnp.asarray(val), self.params, loaded_params)
-        self.opt_state = jax.tree.map(lambda ref, val: jnp.asarray(val), self.opt_state, state["opt_state"])
+        # device_put onto the reference leaf's sharding so restored state keeps
+        # the mesh layout established by init_params
+        self.params = jax.tree.map(lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.params, loaded_params)
+        self.opt_state = jax.tree.map(lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.opt_state, state["opt_state"])
         self.epochs_completed = state["epochs_completed"]
         self.global_step = state["global_step"]
         self.train_loss_history = list(state["train_loss_history"])

@@ -1,0 +1,99 @@
+"""Multi-device sharded training tests on the virtual 8-device CPU mesh —
+the deterministic "fake backend" coverage the reference never had
+(SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from rectools_tpu import Columns
+from rectools_tpu.dataset import Dataset
+from rectools_tpu.models import SASRecModel
+from rectools_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+
+def _dataset() -> Dataset:
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(40):
+        n = rng.integers(3, 10)
+        for t, i in enumerate(rng.integers(0, 30, size=n)):
+            rows.append((u, int(i), 1.0, pd.Timestamp("2021-01-01") + pd.Timedelta(days=int(t))))
+    return Dataset.construct(pd.DataFrame(rows, columns=Columns.Interactions))
+
+
+requires_8_devices = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@requires_8_devices
+class TestShardedTraining:
+    def test_mesh_construction(self) -> None:
+        mesh = make_mesh(n_data=4, n_model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_dp_tp_training_runs_and_shards(self) -> None:
+        dataset = _dataset()
+        model = SASRecModel(
+            n_blocks=1,
+            n_heads=2,
+            n_factors=16,
+            session_max_len=8,
+            epochs=2,
+            batch_size=16,
+            seed=3,
+            dropout_rate=0.0,
+            training_module_kwargs={"mesh_shape": (4, 2)},
+        )
+        model.fit(dataset)
+        assert all(np.isfinite(loss) for loss in model.training_module.train_loss_history)
+        # item embedding table sharded over the feature dim on the model axis
+        emb = model.training_module.params["item_model"]["item_net_blocks_0"]["ids_emb"]
+        assert emb.sharding.spec == P(None, MODEL_AXIS)
+        reco = model.recommend(np.arange(10), dataset, k=5, filter_viewed=True)
+        assert reco[Columns.User].nunique() == 10
+
+    def test_sharded_matches_single_device(self) -> None:
+        dataset = _dataset()
+        common = dict(
+            n_blocks=1, n_heads=2, n_factors=16, session_max_len=8, epochs=1,
+            batch_size=16, seed=3, dropout_rate=0.0,
+        )
+        single = SASRecModel(**common)
+        single.fit(dataset)
+        sharded = SASRecModel(training_module_kwargs={"mesh_shape": (4, 2)}, **common)
+        sharded.fit(dataset)
+        # identical math up to reduction-order float noise
+        np.testing.assert_allclose(
+            single.training_module.train_loss_history,
+            sharded.training_module.train_loss_history,
+            rtol=1e-4,
+        )
+        reco_s = single.recommend([0, 1, 2], dataset, k=5, filter_viewed=False)
+        reco_m = sharded.recommend([0, 1, 2], dataset, k=5, filter_viewed=False)
+        np.testing.assert_allclose(
+            reco_s[Columns.Score].values, reco_m[Columns.Score].values, atol=1e-3
+        )
+
+    def test_indivisible_batch_raises(self) -> None:
+        dataset = _dataset()
+        model = SASRecModel(
+            n_blocks=1, n_heads=2, n_factors=16, session_max_len=8, epochs=1,
+            batch_size=10, seed=3, training_module_kwargs={"mesh_shape": (4, 2)},
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            model.fit(dataset)
+
+    def test_sharded_save_load(self) -> None:
+        dataset = _dataset()
+        model = SASRecModel(
+            n_blocks=1, n_heads=2, n_factors=16, session_max_len=8, epochs=1,
+            batch_size=16, seed=3, dropout_rate=0.0,
+            training_module_kwargs={"mesh_shape": (4, 2)},
+        )
+        model.fit(dataset)
+        restored = SASRecModel.loads(model.dumps())
+        r1 = model.recommend([0, 1], dataset, k=3, filter_viewed=False)
+        r2 = restored.recommend([0, 1], dataset, k=3, filter_viewed=False)
+        np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, atol=1e-4)
