@@ -17,6 +17,7 @@ import pandas as pd
 from scipy import sparse
 
 from ....columns import Columns
+from .... import native as _native
 from ....dataset import Dataset, IdMap, Interactions
 from ....dataset.features import DenseFeatures, Features, SparseFeatures
 from ....types import ExternalIds
@@ -90,12 +91,18 @@ def scatter_left_padded(
     """Vectorized ragged->dense: place ``values[starts[i]:starts[i]+lengths[i]]``
     right-aligned into row i of a (n, out_len) array (left padding). Rows
     longer than ``out_len`` keep their LAST ``out_len`` elements (right
-    truncation, the collate semantics everywhere in the reference)."""
+    truncation, the collate semantics everywhere in the reference).
+
+    Uses the native C++ host-ops when available (rectools_tpu.native),
+    falling back to the numpy scatter below."""
+    native_out = _native.scatter_left_padded_native(values, starts, lengths, out_len, dtype, fill)
+    if native_out is not None:
+        return native_out
     n = len(starts)
     clipped = np.minimum(lengths, out_len)
     starts = starts + (lengths - clipped)
     lengths = clipped
-    out = np.full((n, out_len), fill, dtype=dtype)
+    out = np.zeros((n, out_len), dtype=dtype) if fill == 0 else np.full((n, out_len), fill, dtype=dtype)
     total = int(lengths.sum())
     if total == 0:
         return out

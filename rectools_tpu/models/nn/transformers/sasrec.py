@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .... import native as _native
+
 from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import (
@@ -44,10 +46,16 @@ class SASRecDataPreparator(TransformerDataPreparatorBase):
         """x = session[:-1], y = session[1:], left-padded to session_max_len."""
         starts = dataset.indptr[rows]
         lengths = dataset.lengths[rows]
-        m = lengths - 1  # shifted-pair count per session
-        x = scatter_left_padded(dataset.items, starts, m, self.session_max_len, np.int64)
-        y = scatter_left_padded(dataset.items, starts + 1, m, self.session_max_len, np.int64)
-        yw = scatter_left_padded(dataset.weights, starts + 1, m, self.session_max_len, np.float32)
+        native = _native.sasrec_train_collate_native(
+            dataset.items, dataset.weights, starts, lengths, self.session_max_len
+        )
+        if native is not None:
+            x, y, yw = native
+        else:
+            m = lengths - 1  # shifted-pair count per session
+            x = scatter_left_padded(dataset.items, starts, m, self.session_max_len, np.int64)
+            y = scatter_left_padded(dataset.items, starts + 1, m, self.session_max_len, np.int64)
+            yw = scatter_left_padded(dataset.weights, starts + 1, m, self.session_max_len, np.float32)
         batch: Batch = {"x": x, "y": y, "yw": yw}
         self._sample_negatives(batch, rng)
         if self.add_unix_ts:

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import sparse
 
+from .. import native as _native
+
 
 class Distance(Enum):
     """Distance metrics for ranking (reference rank/rank.py:25)."""
@@ -267,7 +269,8 @@ def _csr_rows_to_padded_idx(
 ) -> np.ndarray:
     """Extract per-row column indices, padded ragged -> (len(rows), max_len).
 
-    Fully vectorised (no per-row Python loop) — the host has few cores, ragged
+    Uses the native C++ host-ops when available; otherwise fully vectorised
+    numpy (no per-row Python loop) — the host has few cores, ragged
     bookkeeping must not become the serving bottleneck.
     """
     indptr = csr.indptr
@@ -276,6 +279,9 @@ def _csr_rows_to_padded_idx(
     n = len(rows)
     if max_len == 0:
         return np.full((n, 0), fill, dtype=np.int32)
+    native_out = _native.csr_rows_padded_native(csr.indices, indptr, rows, max_len, fill)
+    if native_out is not None:
+        return native_out
     out = np.full((n, max_len), fill, dtype=np.int32)
     total = int(lengths.sum())
     row_pos = np.repeat(np.arange(n), lengths)
