@@ -94,11 +94,18 @@ class TransformerTrainingModuleBase:
         logits_t: float = 1,
         seed: int = 0,
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
+        compute_dtype: str = "float32",
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
         self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
         self._mesh = None
+        # "bfloat16" runs the forward/backward matmuls in the MXU's native
+        # precision while master weights and the loss stay float32 (the
+        # mixed-precision recipe); "float32" is exact parity mode.
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', got {compute_dtype}")
+        self.compute_dtype = compute_dtype
         self.model_config = model_config
         self.dataset_schema = dataset_schema
         self.item_external_ids = item_external_ids
@@ -171,6 +178,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         """Forward pass -> logits / logits_t (reference lightning.py:301-309)."""
         deterministic = dropout_rng is None
         rngs = None if deterministic else {"dropout": dropout_rng}
+        if self.compute_dtype == "bfloat16":
+            # half-precision compute, f32 master weights: grads flow through
+            # the cast back to the f32 tree
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
+            )
         if self._requires_negatives:
             y, negatives = batch["y"], batch["negatives"]
             pos_neg = jnp.concatenate([y[..., None], negatives], axis=-1)
@@ -181,7 +194,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             logits = self.backbone.apply(
                 {"params": params}, batch, deterministic=deterministic, rngs=rngs
             )
-        return logits / self.logits_t
+        return logits.astype(jnp.float32) / self.logits_t
 
     # ------------------------------------------------------------- jitted steps
 
