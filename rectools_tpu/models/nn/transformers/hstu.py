@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ....ops.stu_attention import stu_dot_product_attention
 from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import (
@@ -34,12 +35,31 @@ from .training import TransformerTrainingModule, TransformerTrainingModuleBase
 
 class RelativeAttentionBias(nn.Module):
     """Relative time + positional attention biases
-    (reference hstu.py:47-153)."""
+    (reference hstu.py:47-153). Params live in ``setup`` so the fused STU
+    kernel can consume the raw weight vectors without materializing the
+    (B, L, L) bias tensor."""
 
     session_max_len: int
     relative_time_attention: bool
     relative_pos_attention: bool
     num_buckets: int = 128
+
+    def setup(self) -> None:
+        if self.relative_time_attention:
+            self.time_weights = self.param(
+                "time_weights", nn.initializers.normal(stddev=0.02), (self.num_buckets + 1,), jnp.float32
+            )
+        if self.relative_pos_attention:
+            self.pos_weights = self.param(
+                "pos_weights", nn.initializers.normal(stddev=0.02), (2 * self.session_max_len - 1,), jnp.float32
+            )
+
+    def weight_vectors(self) -> tp.Tuple[tp.Optional[jnp.ndarray], tp.Optional[jnp.ndarray]]:
+        """Raw (time_weights, pos_weights) for the fused kernel; None when the
+        corresponding bias is disabled."""
+        tw = self.time_weights if self.relative_time_attention else None
+        pw = self.pos_weights if self.relative_pos_attention else None
+        return tw, pw
 
     def _quantize(self, diff_timestamps: jnp.ndarray) -> jnp.ndarray:
         """Log-bucket timestamp deltas (reference hstu.py:84-86)."""
@@ -65,20 +85,13 @@ class RelativeAttentionBias(nn.Module):
         r = (2 * n - 1) // 2
         return t[:, :, r : t.shape[2] - r]
 
-    @nn.compact
     def __call__(self, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
         batch_size, l = batch["x"].shape
         rel_attn = jnp.zeros((batch_size, self.session_max_len, self.session_max_len), dtype=jnp.float32)
         if self.relative_time_attention:
-            time_weights = self.param(
-                "time_weights", nn.initializers.normal(stddev=0.02), (self.num_buckets + 1,), jnp.float32
-            )
-            rel_attn = rel_attn + self._time_attention(time_weights, batch["unix_ts"])
+            rel_attn = rel_attn + self._time_attention(self.time_weights, batch["unix_ts"])
         if self.relative_pos_attention:
-            pos_weights = self.param(
-                "pos_weights", nn.initializers.normal(stddev=0.02), (2 * self.session_max_len - 1,), jnp.float32
-            )
-            rel_attn = rel_attn + self._pos_attention(pos_weights)
+            rel_attn = rel_attn + self._pos_attention(self.pos_weights)
         return rel_attn
 
 
@@ -118,31 +131,49 @@ class STULayer(nn.Module):
         transformed = nn.silu(jnp.matmul(normed_x, uvqk_proj, preferred_element_type=jnp.float32))
         u, v, q, k = jnp.split(transformed, [lh * h, lh * 2 * h, lh * 2 * h + ad * h], axis=-1)
 
-        qk_attn = jnp.einsum(
-            "bnhd,bmhd->bhnm",
-            q.reshape(batch_size, l, h, ad),
-            k.reshape(batch_size, l, h, ad),
-            preferred_element_type=jnp.float32,
-        )
-        rel = RelativeAttentionBias(
+        rel_module = RelativeAttentionBias(
             session_max_len=self.session_max_len,
             relative_time_attention=self.relative_time_attention,
             relative_pos_attention=self.relative_pos_attention,
             name="rel_attn",
-        )(batch)
-        qk_attn = qk_attn + rel[:, None, :, :]
-        qk_attn = nn.silu(qk_attn) / self.session_max_len
-
+        )
         tm = timeline_mask[:, :, 0]  # (B, L)
-        timeline_fix = tm[:, None, :] * timeline_mask  # (B, L, L)
-        qk_attn = qk_attn * attn_allowed * timeline_fix[:, None, :, :]
 
-        attn_output = jnp.einsum(
-            "bhnm,bmhd->bnhd",
-            qk_attn,
-            v.reshape(batch_size, l, h, lh),
-            preferred_element_type=jnp.float32,
-        ).reshape(batch_size, l, h * lh)
+        # Fused Pallas path on TPU when the allowed-mask is batch-independent
+        # (pure causal from the backbone): relative biases computed inside the
+        # kernel, no (B, H, L, L) score or (B, L, L) bias tensors in HBM.
+        use_fused = jax.default_backend() == "tpu" and attn_allowed.shape[0] == 1 and attn_allowed.shape[1] == 1
+        if use_fused:
+            q4 = q.reshape(batch_size, l, h, ad).transpose(0, 2, 1, 3)
+            k4 = k.reshape(batch_size, l, h, ad).transpose(0, 2, 1, 3)
+            v4 = v.reshape(batch_size, l, h, lh).transpose(0, 2, 1, 3)
+            tw, pw = rel_module.weight_vectors()
+            ts = batch.get("unix_ts") if self.relative_time_attention else None
+            ext = jnp.concatenate([ts, ts[:, -1:]], axis=1) if ts is not None else None
+            out4 = stu_dot_product_attention(
+                q4, k4, v4, ext, tm, attn_allowed[0, 0], tw, pw, rel_module.num_buckets
+            )
+            attn_output = out4.transpose(0, 2, 1, 3).reshape(batch_size, l, h * lh)
+        else:
+            qk_attn = jnp.einsum(
+                "bnhd,bmhd->bhnm",
+                q.reshape(batch_size, l, h, ad),
+                k.reshape(batch_size, l, h, ad),
+                preferred_element_type=jnp.float32,
+            )
+            rel = rel_module(batch)
+            qk_attn = qk_attn + rel[:, None, :, :]
+            qk_attn = nn.silu(qk_attn) / self.session_max_len
+
+            timeline_fix = tm[:, None, :] * timeline_mask  # (B, L, L)
+            qk_attn = qk_attn * attn_allowed * timeline_fix[:, None, :, :]
+
+            attn_output = jnp.einsum(
+                "bhnm,bmhd->bnhd",
+                qk_attn,
+                v.reshape(batch_size, l, h, lh),
+                preferred_element_type=jnp.float32,
+            ).reshape(batch_size, l, h * lh)
         attn_output = nn.Dropout(rate=self.attn_dropout_rate, deterministic=deterministic)(attn_output)
 
         o_input = u * nn.LayerNorm(epsilon=self.epsilon, name="norm_attn_output")(attn_output) * timeline_mask

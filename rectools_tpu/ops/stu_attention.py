@@ -1,0 +1,269 @@
+"""Fused STU (HSTU) attention kernel with in-kernel relative biases.
+
+HSTU's attention is pointwise-aggregated: SiLU(q k^T + rel_bias) / L with
+multiplicative causal/timeline masking — no softmax (reference
+rectools/models/nn/transformers/hstu.py:270-288). The reference materializes
+both the (B, H, L, L) score tensor and a separate (B, L, L) relative-bias
+tensor built from log-bucketed timestamp deltas (hstu.py:88-128). SURVEY.md §5
+flags exactly this as the fusion target: here the kernel computes the
+time-delta buckets and the Toeplitz positional bias on the fly from the
+(B, L+2) timestamp row and the two small weight vectors, so neither the score
+matrix nor the bias matrix ever exists in HBM.
+
+Bucket-table lookups run as one-hot matmuls — gathers from tiny tables are
+MXU-friendly one-hots on TPU, not scatter/gather ops.
+
+Backward recomputes the (L, L) intermediates in XLA math via custom_vjp.
+"""
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+DEFAULT_BLOCK_Q = 128
+
+
+def _bucket(diff: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """Log-bucketed |timestamp delta| (reference hstu.py:84-86)."""
+    return jnp.clip(
+        (jnp.log(jnp.maximum(jnp.abs(diff), 1).astype(jnp.float32)) / 0.301).astype(jnp.int32),
+        0,
+        num_buckets,
+    )
+
+
+def _stu_kernel(
+    q_ref,  # (1, block_q, ad)
+    k_ref,  # (1, L, ad)
+    v_ref,  # (1, L, lh)
+    ts_ref,  # (1, L + 2) extended timestamps, int32 (unix seconds fit; f32
+             # would lose second-level deltas past 2^24)
+    tl_ref,  # (1, L) timeline mask
+    allowed_ref,  # (1, block_q, L) multiplicative attention mask (0/1)
+    tw_ref,  # (1, nb + 1) time weights
+    pw_ref,  # (1, 2L - 1) pos weights
+    out_ref,  # (1, block_q, lh)
+    *,
+    l_total: int,
+    block_q: int,
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+):
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, L)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, l_total), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, l_total), 1)
+
+    if use_time:
+        # reference (hstu.py:88-103): bias[q, k] = w[bucket(t[q + 1] - t[k])]
+        # over the extended (target-time-appended) timestamp row
+        t_q = ts_ref[0, pl.ds(qi * block_q + 1, block_q)]
+        t_k = ts_ref[0, :l_total]
+        buckets = _bucket(t_q[:, None] - t_k[None, :], num_buckets)
+        onehot = jax.nn.one_hot(buckets, num_buckets + 1, dtype=jnp.float32)
+        s = s + jax.lax.dot_general(
+            onehot.reshape(block_q * l_total, num_buckets + 1),
+            tw_ref[0][:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(block_q, l_total)
+
+    if use_pos:
+        # Toeplitz positional bias: w[k - q + L - 1] (reference hstu.py:116-128)
+        rel_idx = jnp.clip(k_pos - q_pos + l_total - 1, 0, 2 * l_total - 2)
+        onehot = jax.nn.one_hot(rel_idx, 2 * l_total - 1, dtype=jnp.float32)
+        s = s + jax.lax.dot_general(
+            onehot.reshape(block_q * l_total, 2 * l_total - 1),
+            pw_ref[0][:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(block_q, l_total)
+
+    a = jax.nn.silu(s) / l_total
+
+    tl = tl_ref[0]  # (L,)
+    tl_q = tl_ref[0, pl.ds(qi * block_q, block_q)]
+    mask = allowed_ref[0] * tl_q[:, None] * tl[None, :]
+    a = a * mask
+
+    out_ref[0] = jnp.dot(a, v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _stu_pallas(
+    q: jnp.ndarray,  # (B, H, L, ad)
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # (B, H, L, lh)
+    ts: jnp.ndarray,  # (B, L + 2) int32
+    timeline: jnp.ndarray,  # (B, L) float32
+    time_weights: jnp.ndarray,  # (nb + 1,)
+    pos_weights: jnp.ndarray,  # (2L - 1,)
+    allowed: jnp.ndarray,  # (1, L, L) multiplicative mask, shared across batch
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+    block_q: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, l, ad = q.shape
+    lh = v.shape[-1]
+    bh = b * h
+    block_q = min(block_q, l)
+    n_q = pl.cdiv(l, block_q)
+
+    q3 = q.reshape(bh, l, ad)
+    k3 = k.reshape(bh, l, ad)
+    v3 = v.reshape(bh, l, lh)
+    tw = time_weights.reshape(1, -1).astype(jnp.float32)
+    pw = pos_weights.reshape(1, -1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        partial(
+            _stu_kernel,
+            l_total=l,
+            block_q=block_q,
+            num_buckets=num_buckets,
+            use_time=use_time,
+            use_pos=use_pos,
+        ),
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, ad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, ad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, lh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ts.shape[1]), lambda i, j: (i // h, 0)),
+            pl.BlockSpec((1, l), lambda i, j: (i // h, 0)),
+            pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((1, tw.shape[1]), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, pw.shape[1]), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, lh), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, l, lh), q.dtype),
+        interpret=interpret,
+    )(q3, k3, v3, ts, timeline, allowed.astype(jnp.float32), tw, pw)
+    return out.reshape(b, h, l, lh)
+
+
+def _stu_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ts: jnp.ndarray,
+    timeline: jnp.ndarray,
+    time_weights: jnp.ndarray,
+    pos_weights: jnp.ndarray,
+    allowed: jnp.ndarray,
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+) -> jnp.ndarray:
+    """XLA-math path (used on CPU and as custom_vjp backward recompute)."""
+    b, h, l, _ = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if use_time:
+        t_q = ts[:, 1 : l + 1]
+        t_k = ts[:, :l]
+        buckets = _bucket(t_q[:, :, None] - t_k[:, None, :], num_buckets)
+        s = s + time_weights[buckets][:, None, :, :]
+    if use_pos:
+        q_pos = jnp.arange(l)
+        rel_idx = jnp.clip(q_pos[None, :] - q_pos[:, None] + l - 1, 0, 2 * l - 2)
+        s = s + pos_weights[rel_idx][None, None, :, :]
+    a = jax.nn.silu(s) / l
+    mask = allowed.astype(jnp.float32)[None] * (timeline[:, None, :, None] * timeline[:, None, None, :])
+    a = a * mask
+    return jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def stu_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ts: jnp.ndarray,
+    timeline: jnp.ndarray,
+    allowed: jnp.ndarray,
+    time_weights: jnp.ndarray,
+    pos_weights: jnp.ndarray,
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused HSTU attention; see module docstring for semantics."""
+    return _stu_pallas(
+        q, k, v, ts, timeline, time_weights, pos_weights, allowed,
+        num_buckets, use_time, use_pos, block_q, interpret,
+    )
+
+
+def _stu_fwd(q, k, v, ts, timeline, allowed, time_weights, pos_weights, num_buckets, use_time, use_pos, block_q, interpret):
+    out = _stu_pallas(
+        q, k, v, ts, timeline, time_weights, pos_weights, allowed,
+        num_buckets, use_time, use_pos, block_q, interpret,
+    )
+    return out, (q, k, v, ts, timeline, allowed, time_weights, pos_weights)
+
+
+def _stu_bwd(num_buckets, use_time, use_pos, block_q, interpret, residuals, d_out):
+    q, k, v, ts, timeline, allowed, time_weights, pos_weights = residuals
+
+    def forward(q, k, v, time_weights, pos_weights):
+        return _stu_reference(
+            q, k, v, ts, timeline, time_weights, pos_weights, allowed,
+            num_buckets, use_time, use_pos,
+        )
+
+    _, vjp = jax.vjp(forward, q, k, v, time_weights, pos_weights)
+    dq, dk, dv, dtw, dpw = vjp(d_out)
+    return dq, dk, dv, jnp.zeros_like(ts), jnp.zeros_like(timeline), jnp.zeros_like(allowed), dtw, dpw
+
+
+stu_attention.defvjp(_stu_fwd, _stu_bwd)
+
+
+def stu_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ts: tp.Optional[jnp.ndarray],
+    timeline: jnp.ndarray,
+    allowed: jnp.ndarray,  # (L, L) or (1, L, L) multiplicative mask
+    time_weights: tp.Optional[jnp.ndarray],
+    pos_weights: tp.Optional[jnp.ndarray],
+    num_buckets: int,
+    use_fused: tp.Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatching STU attention entry point.
+
+    ``ts`` / ``time_weights`` / ``pos_weights`` may be None when the
+    corresponding bias is disabled. ``allowed`` is batch-independent (causal
+    or any static pattern); batch-dependent masks must use the layer's
+    materialized fallback path.
+    """
+    b, h, l, _ = q.shape
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    use_time = time_weights is not None
+    use_pos = pos_weights is not None
+    if ts is None:
+        ts = jnp.zeros((b, l + 2), dtype=jnp.int32)
+    else:
+        ts = ts.astype(jnp.int32)
+    if allowed.ndim == 2:
+        allowed = allowed[None]
+    tw = time_weights if use_time else jnp.zeros((num_buckets + 1,), jnp.float32)
+    pw = pos_weights if use_pos else jnp.zeros((2 * l - 1,), jnp.float32)
+    if use_fused:
+        return stu_attention(q, k, v, ts, timeline, allowed, tw, pw, num_buckets, use_time, use_pos)
+    return _stu_reference(q, k, v, ts, timeline, tw, pw, allowed[0], num_buckets, use_time, use_pos)
