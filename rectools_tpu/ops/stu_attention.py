@@ -39,9 +39,13 @@ def _stu_kernel(
     q_ref,  # (1, block_q, ad)
     k_ref,  # (1, L, ad)
     v_ref,  # (1, L, lh)
-    ts_ref,  # (1, L + 2) extended timestamps, int32 (unix seconds fit; f32
-             # would lose second-level deltas past 2^24)
-    tl_ref,  # (1, L) timeline mask
+    ts_q_ref,  # (1, 1, block_q) per-q-block target timestamps t[q+1], int32
+               # (unix seconds fit; f32 would lose second-level deltas past
+               # 2^24; q-windows arrive via BlockSpec indexing because Mosaic
+               # cannot do narrow dynamic-offset vector loads)
+    ts_k_ref,  # (1, 1, L) key timestamps t[k]
+    tl_q_ref,  # (1, 1, block_q) timeline mask rows for this q block
+    tl_k_ref,  # (1, 1, L) timeline mask
     allowed_ref,  # (1, block_q, L) multiplicative attention mask (0/1)
     tw_ref,  # (1, nb + 1) time weights
     pw_ref,  # (1, 2L - 1) pos weights
@@ -67,8 +71,8 @@ def _stu_kernel(
     if use_time:
         # reference (hstu.py:88-103): bias[q, k] = w[bucket(t[q + 1] - t[k])]
         # over the extended (target-time-appended) timestamp row
-        t_q = ts_ref[0, pl.ds(qi * block_q + 1, block_q)]
-        t_k = ts_ref[0, :l_total]
+        t_q = ts_q_ref[0, 0]
+        t_k = ts_k_ref[0, 0]
         buckets = _bucket(t_q[:, None] - t_k[None, :], num_buckets)
         onehot = jax.nn.one_hot(buckets, num_buckets + 1, dtype=jnp.float32)
         s = s + jax.lax.dot_general(
@@ -91,8 +95,8 @@ def _stu_kernel(
 
     a = jax.nn.silu(s) / l_total
 
-    tl = tl_ref[0]  # (L,)
-    tl_q = tl_ref[0, pl.ds(qi * block_q, block_q)]
+    tl = tl_k_ref[0, 0]  # (L,)
+    tl_q = tl_q_ref[0, 0]
     mask = allowed_ref[0] * tl_q[:, None] * tl[None, :]
     a = a * mask
 
@@ -125,6 +129,19 @@ def _stu_pallas(
     v3 = v.reshape(bh, l, lh)
     tw = time_weights.reshape(1, -1).astype(jnp.float32)
     pw = pos_weights.reshape(1, -1).astype(jnp.float32)
+    # pad L up to a block_q multiple so q-window blocks tile evenly
+    l_padded = n_q * block_q
+    ts_q = ts[:, 1 : l + 1]
+    ts_k = ts[:, :l]
+    if l_padded > l:
+        ts_q = jnp.pad(ts_q, ((0, 0), (0, l_padded - l)))
+    ts_q3 = ts_q[:, None, :]
+    ts_k3 = ts_k[:, None, :]
+    tl_q = timeline
+    if l_padded > l:
+        tl_q = jnp.pad(timeline, ((0, 0), (0, l_padded - l)))
+    tl_q3 = tl_q[:, None, :]
+    tl_k3 = timeline[:, None, :]
 
     out = pl.pallas_call(
         partial(
@@ -140,8 +157,10 @@ def _stu_pallas(
             pl.BlockSpec((1, block_q, ad), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, l, ad), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, l, lh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, ts.shape[1]), lambda i, j: (i // h, 0)),
-            pl.BlockSpec((1, l), lambda i, j: (i // h, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i // h, 0, j)),
+            pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i // h, 0, j)),
+            pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
             pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
             pl.BlockSpec((1, tw.shape[1]), lambda i, j: (0, 0)),
             pl.BlockSpec((1, pw.shape[1]), lambda i, j: (0, 0)),
@@ -149,7 +168,7 @@ def _stu_pallas(
         out_specs=pl.BlockSpec((1, block_q, lh), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, l, lh), q.dtype),
         interpret=interpret,
-    )(q3, k3, v3, ts, timeline, allowed.astype(jnp.float32), tw, pw)
+    )(q3, k3, v3, ts_q3, ts_k3, tl_q3, tl_k3, allowed.astype(jnp.float32), tw, pw)
     return out.reshape(b, h, l, lh)
 
 
