@@ -97,6 +97,71 @@ def _score_mask_topk(
     return top_idx, report, valid
 
 
+@partial(jax.jit, static_argnames=("k", "mode", "chunk"))
+def _score_mask_topk_chunked(
+    subjects: jax.Array,  # (B, D) f32
+    objects_t: jax.Array,  # (D, N_pad) f32
+    seen_idx: jax.Array,  # (B, S) int32, fill >= N_pad
+    obj_norm_sq: jax.Array,  # (N_pad,) f32
+    n_valid_objects: jax.Array,  # () int32
+    k: int,
+    mode: int,
+    chunk: int,  # object-chunk width, multiple of 128, divides N_pad
+) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
+    """Chunked variant of `_score_mask_topk` for catalogs whose full (B, N)
+    score matrix would not fit HBM: objects stream in `chunk`-wide tiles with
+    a running (B, k) top-k merge, so peak memory is O(B * chunk) regardless of
+    catalog size. Identical results to the one-shot kernel."""
+    b = subjects.shape[0]
+    n_chunks = objects_t.shape[1] // chunk
+
+    def body(carry: tp.Tuple[jax.Array, jax.Array], chunk_idx: jax.Array):
+        best_scores, best_idx = carry
+        start = chunk_idx * chunk
+        obj_chunk = jax.lax.dynamic_slice(objects_t, (0, start), (objects_t.shape[0], chunk))
+        dots = jnp.dot(
+            subjects, obj_chunk, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+        if mode == Distance.EUCLIDEAN.value:
+            norms = jax.lax.dynamic_slice(obj_norm_sq, (start,), (chunk,))
+            scores = 2.0 * dots - norms[None, :]
+        else:
+            scores = dots
+        col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        scores = jnp.where(col_ids < n_valid_objects, scores, _NEG_INF)
+        # out-of-chunk seen ids must become positive out-of-bounds (dropped);
+        # raw negatives would WRAP in jax scatter semantics and mask wrong items
+        local_seen = seen_idx - start
+        local_seen = jnp.where(local_seen < 0, chunk + 1, local_seen)
+        rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
+        scores = scores.at[rows, local_seen].set(_NEG_INF, mode="drop")
+
+        top_s, top_i = jax.lax.top_k(scores, min(k, chunk))
+        top_i = top_i + start
+        cat_s = jnp.concatenate([best_scores, top_s], axis=1)
+        cat_i = jnp.concatenate([best_idx, top_i], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    init = (
+        jnp.full((b, k), _NEG_INF, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+    (top_scores, top_idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    valid = top_scores > (_NEG_INF / 2)
+
+    if mode == Distance.COSINE.value:
+        sub_norm = jnp.linalg.norm(subjects, axis=1, keepdims=True)
+        report = jnp.where(sub_norm > 0, top_scores / sub_norm, top_scores)
+    elif mode == Distance.EUCLIDEAN.value:
+        sub_norm_sq = jnp.sum(subjects * subjects, axis=1, keepdims=True)
+        report = jnp.sqrt(jnp.clip(sub_norm_sq - top_scores, 0.0, None))
+    else:
+        report = top_scores
+    return top_idx, report, valid
+
+
 @partial(jax.jit, static_argnames=("k", "n_pad"))
 def _random_mask_topk(
     key: jax.Array,
@@ -231,6 +296,25 @@ class TopKEngine:
         self._n_valid = jnp.int32(self.n_objects)
         self._n_pad = n_pad
 
+    # score-matrix HBM budget before the engine switches to object-chunked
+    # scoring with a running top-k merge (peak memory O(B * chunk))
+    max_score_bytes: int = 1 << 30
+
+    def _pick_chunk(self, b_pad: int) -> tp.Optional[int]:
+        """Largest 128-multiple divisor of n_pad whose (b_pad, chunk) score
+        tile fits the budget; None when no chunking is needed."""
+        if b_pad * self._n_pad * 4 <= self.max_score_bytes:
+            return None
+        cap_units = max(1, self.max_score_bytes // (4 * b_pad * 128))
+        units = self._n_pad // 128
+        best = 1
+        for q in range(1, int(units**0.5) + 1):
+            if units % q == 0:
+                for cand in (q, units // q):
+                    if cand <= cap_units and cand > best:
+                        best = cand
+        return best * 128
+
     def query_batch(
         self,
         subjects: np.ndarray,  # (B, D)
@@ -248,15 +332,28 @@ class TopKEngine:
             seen = np.full((b_pad, s_pad), self._n_pad + 1, dtype=np.int32)
             seen[:b, : seen_idx.shape[1]] = seen_idx
         k_eff = min(k, self.n_objects)
-        idx, scores, valid = _score_mask_topk(
-            jnp.asarray(sub),
-            self._objects_t,
-            jnp.asarray(seen),
-            self._obj_norm_sq,
-            self._n_valid,
-            k_eff,
-            self.distance.value,
-        )
+        chunk = self._pick_chunk(b_pad)
+        if chunk is not None:
+            idx, scores, valid = _score_mask_topk_chunked(
+                jnp.asarray(sub),
+                self._objects_t,
+                jnp.asarray(seen),
+                self._obj_norm_sq,
+                self._n_valid,
+                k_eff,
+                self.distance.value,
+                chunk,
+            )
+        else:
+            idx, scores, valid = _score_mask_topk(
+                jnp.asarray(sub),
+                self._objects_t,
+                jnp.asarray(seen),
+                self._obj_norm_sq,
+                self._n_valid,
+                k_eff,
+                self.distance.value,
+            )
         return (
             np.asarray(idx[:b]),
             np.asarray(scores[:b]),

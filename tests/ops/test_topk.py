@@ -142,3 +142,56 @@ def test_filter_mismatched_rows_raises(factors):
     ranker = TPURanker(Distance.DOT, subjects, objects)
     with pytest.raises(ValueError):
         ranker.rank(np.array([0]), k=1, filter_pairs_csr=filter_csr)
+
+
+class TestChunkedTopK:
+    def test_chunked_matches_oneshot(self) -> None:
+        import jax.numpy as jnp
+
+        from rectools_tpu.ops.topk import TopKEngine, _score_mask_topk, _score_mask_topk_chunked
+
+        rng = np.random.default_rng(0)
+        n_obj, d, b, k = 1000, 16, 16, 7
+        objects = rng.normal(size=(n_obj, d)).astype(np.float32)
+        subjects = rng.normal(size=(b, d)).astype(np.float32)
+        seen = rng.integers(0, n_obj, size=(b, 8)).astype(np.int32)
+        for distance in (Distance.DOT, Distance.COSINE, Distance.EUCLIDEAN):
+            engine = TopKEngine(objects, distance=distance)
+            idx1, sc1, v1 = _score_mask_topk(
+                jnp.asarray(subjects), engine._objects_t, jnp.asarray(seen),
+                engine._obj_norm_sq, engine._n_valid, k, distance.value,
+            )
+            idx2, sc2, v2 = _score_mask_topk_chunked(
+                jnp.asarray(subjects), engine._objects_t, jnp.asarray(seen),
+                engine._obj_norm_sq, engine._n_valid, k, distance.value, 128,
+            )
+            np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+            np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_engine_auto_chunks_and_matches(self) -> None:
+        from rectools_tpu.ops import topk as topk_mod
+        from rectools_tpu.ops.topk import TopKEngine
+
+        rng = np.random.default_rng(1)
+        objects = rng.normal(size=(2000, 8)).astype(np.float32)
+        subjects = rng.normal(size=(4, 8)).astype(np.float32)
+        big = TopKEngine(objects)
+        idx_ref, sc_ref, v_ref = big.query_batch(subjects, 5)
+        small = TopKEngine(objects)
+        small.max_score_bytes = 8 * 256 * 4  # force chunking
+        assert small._pick_chunk(8) is not None
+        idx_c, sc_c, v_c = small.query_batch(subjects, 5)
+        np.testing.assert_array_equal(idx_ref, idx_c)
+        np.testing.assert_allclose(sc_ref, sc_c, atol=1e-5)
+
+    def test_pick_chunk_divides(self) -> None:
+        from rectools_tpu.ops.topk import TopKEngine
+
+        rng = np.random.default_rng(2)
+        engine = TopKEngine(rng.normal(size=(3333, 8)).astype(np.float32))
+        engine.max_score_bytes = 64 * 128 * 4
+        chunk = engine._pick_chunk(64)
+        assert chunk is not None
+        assert engine._n_pad % chunk == 0
+        assert chunk % 128 == 0
