@@ -337,3 +337,37 @@ class TestCalcMetrics:
             calc_metrics({"miuf@1": MeanInvUserFreq(k=1)}, reco=RECO)
         with pytest.raises(ValueError):
             calc_metrics({"int@1": Intersection(k=1)}, reco=RECO)
+
+
+class TestCalcMetricsDebias:
+    def test_debiased_and_plain_coexist(self) -> None:
+        config = DebiasConfig(iqr_coef=1.5, random_state=0)
+        interactions = pd.concat([INTERACTIONS] * 3, ignore_index=True)
+        result = calc_metrics(
+            {
+                "prec@3": Precision(k=3),
+                "prec_debiased@3": Precision(k=3, debias_config=config),
+                "map@3": MAP(k=3),
+                "map_debiased@3": MAP(k=3, debias_config=config),
+                "pauc@3": PartialAUC(k=3),
+                "pauc_debiased@3": PartialAUC(k=3, debias_config=config),
+            },
+            reco=RECO,
+            interactions=interactions,
+        )
+        assert set(result) == {
+            "prec@3", "prec_debiased@3", "map@3", "map_debiased@3", "pauc@3", "pauc_debiased@3"
+        }
+        # debiased variants equal direct computation on debiased interactions
+        debiased = debias_interactions(interactions, config)
+        assert result["prec_debiased@3"] == pytest.approx(Precision(k=3).calc(RECO, debiased))
+        assert result["map_debiased@3"] == pytest.approx(MAP(k=3).calc(RECO, debiased))
+        assert result["pauc_debiased@3"] == pytest.approx(PartialAUC(k=3).calc(RECO, debiased))
+
+    def test_raises_without_auto_debias(self) -> None:
+        config = DebiasConfig(iqr_coef=1.5, random_state=0)
+        from rectools_tpu.metrics import make_confusions
+
+        confusion_df = make_confusions(RECO, INTERACTIONS, k=3)
+        with pytest.raises(ValueError, match="de-biased"):
+            Precision(k=3, debias_config=config).calc_from_confusion_df(confusion_df, is_debiased=False)
