@@ -8,11 +8,13 @@ jax device meshes, functional training loops.
 
 from .columns import Columns
 from .exceptions import NotFittedError, NotFittedForStageError
-from .types import ExternalId, ExternalIds, InternalId, InternalIds
+from .types import AnyIds, AnySequence, ExternalId, ExternalIds, InternalId, InternalIds
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AnyIds",
+    "AnySequence",
     "Columns",
     "NotFittedError",
     "NotFittedForStageError",

@@ -47,12 +47,59 @@ def unflatten_dict(d: tp.Dict[str, tp.Any], sep: str = ".") -> tp.Dict[str, tp.A
     return result
 
 
+AnyType = tp.Any
+
+
+def _is_instance_of_type(obj: tp.Any, type_: AnyType) -> bool:
+    try:
+        from typeguard import check_type
+
+        try:
+            check_type(obj, type_)  # typeguard >= 3
+        except TypeError:
+            check_type("obj", obj, type_)  # typeguard 2.x signature
+        return True
+    except Exception:  # noqa: BLE001 - any check failure means "not an instance"
+        return False
+
+
+def is_instance(obj: tp.Any, types: tp.Union[AnyType, tp.Tuple[AnyType, ...]]) -> bool:
+    """`isinstance` that also accepts typing generics like ``Union[int, float]``.
+
+    Reference semantics: rectools/utils/misc.py:103-139.
+
+    Examples
+    --------
+    >>> from typing import Union
+    >>> Number = Union[int, float]
+    >>> is_instance(1, Number)
+    True
+    >>> is_instance("abc", (Number, str))
+    True
+    >>> is_instance([1], (Number, str))
+    False
+    """
+    if not isinstance(types, tuple):
+        types = (types,)
+    return any(_is_instance_of_type(obj, t) for t in types)
+
+
 def select_by_type(
-    objects: tp.Dict[tp.Any, tp.Any],
-    types: tp.Union[type, tp.Tuple[type, ...]],
+    objects: tp.Mapping[tp.Any, tp.Any],
+    types: tp.Union[AnyType, tp.Tuple[AnyType, ...]],
 ) -> tp.Dict[tp.Any, tp.Any]:
-    """Select dict entries whose values are instances of `types`."""
-    return {k: v for k, v in objects.items() if isinstance(v, types)}
+    """Select dict entries whose values are instances of `types` (generics allowed).
+
+    Reference semantics: rectools/utils/misc.py:141-171.
+
+    Examples
+    --------
+    >>> from typing import Union
+    >>> Number = Union[int, float]
+    >>> select_by_type({1: 10, 2: 0.5, 3: "abc", 4: [1, 2]}, (Number, str))
+    {1: 10, 2: 0.5, 3: 'abc'}
+    """
+    return {k: v for k, v in objects.items() if is_instance(v, types)}
 
 
 def log_at_base(arr: np.ndarray, base: float) -> np.ndarray:
