@@ -15,6 +15,8 @@ import rectools_tpu.metrics.serendipity
 import rectools_tpu.metrics.distances
 import rectools_tpu.model_selection.last_n_split
 import rectools_tpu.model_selection.time_split
+import rectools_tpu.utils.array_ops
+import rectools_tpu.utils.misc
 
 MODULES = [
     rectools_tpu.metrics.auc,
@@ -27,6 +29,8 @@ MODULES = [
     rectools_tpu.metrics.distances,
     rectools_tpu.model_selection.last_n_split,
     rectools_tpu.model_selection.time_split,
+    rectools_tpu.utils.array_ops,
+    rectools_tpu.utils.misc,
 ]
 
 
