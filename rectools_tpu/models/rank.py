@@ -11,6 +11,10 @@ import numpy as np
 from scipy import sparse
 
 from ..ops.topk import Distance, rank_topk
+from ..ops.topk_sharded import rank_topk_sharded
+
+if tp.TYPE_CHECKING:  # pragma: no cover
+    from jax.sharding import Mesh
 
 __all__ = ["Distance", "Ranker", "TPURanker"]
 
@@ -29,7 +33,13 @@ class Ranker(tp.Protocol):
 
 
 class TPURanker:
-    """Exact top-k MIPS over subject/object factor matrices on TPU."""
+    """Exact top-k MIPS over subject/object factor matrices on TPU.
+
+    Pass a ``mesh`` to shard the serving across chips: the object table
+    splits over the ``model`` axis (per-shard top-k, candidates all-gathered
+    over ICI and merged), query batches over the ``data`` axis. Results are
+    identical to the single-device path — exact search either way.
+    """
 
     def __init__(
         self,
@@ -37,11 +47,13 @@ class TPURanker:
         subjects_factors: tp.Union[np.ndarray, sparse.csr_matrix],
         objects_factors: np.ndarray,
         batch_size: int = 1024,
+        mesh: tp.Optional["Mesh"] = None,
     ) -> None:
         self.distance = distance
         self.subjects_factors = subjects_factors
         self.objects_factors = np.asarray(objects_factors, dtype=np.float32)
         self.batch_size = batch_size
+        self.mesh = mesh
 
     def rank(
         self,
@@ -53,6 +65,18 @@ class TPURanker:
         subject_ids = np.asarray(subject_ids)
         if filter_pairs_csr is not None and filter_pairs_csr.shape[0] != len(subject_ids):
             raise ValueError("Number of rows in `filter_pairs_csr` must match `subject_ids` length")
+        if self.mesh is not None:
+            return rank_topk_sharded(
+                subjects=self.subjects_factors,
+                objects=self.objects_factors,
+                subject_ids=subject_ids,
+                k=k,
+                mesh=self.mesh,
+                distance=self.distance,
+                filter_pairs_csr=filter_pairs_csr,
+                sorted_object_whitelist=sorted_object_whitelist,
+                batch_size=self.batch_size,
+            )
         return rank_topk(
             subjects=self.subjects_factors,
             objects=self.objects_factors,

@@ -1,0 +1,249 @@
+"""Mesh-sharded exact top-k MIPS: per-shard top-k + all-gather + merge.
+
+The serving-scale complement to ``ops/topk.py``. The single-device engine
+holds the whole object table in one chip's HBM; here the table is sharded
+over the ``model`` mesh axis (objects split along N) and subject batches are
+sharded over the ``data`` axis, so catalog size scales with the number of
+chips and query throughput scales with data-parallel width.
+
+The kernel is a ``shard_map``: each model shard computes its local
+(B, N/n_model) score tile, applies seen-filtering against global object ids,
+takes a local top-k, and the k-sized candidate lists are all-gathered over
+ICI and re-top-k'd — the collective moves O(B * k * n_model) floats instead
+of the O(B * N) score matrix. This is the design the reference could not
+express: its native rankers (implicit's OpenMP/CUDA topk,
+rectools/models/rank/rank_implicit.py:264; torch ranker rank_torch.py:77)
+are single-host, single-accelerator.
+"""
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from scipy import sparse
+
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_to_multiple
+from .topk import Distance, _csr_rows_to_padded_idx, _next_pow2, _normalize_rows, _NEG_INF
+
+
+def _local_topk_merge(
+    subjects: jax.Array,  # (B_local, D) — per data-shard batch slice
+    objects_t: jax.Array,  # (D, N_local) — per model-shard object slice
+    seen_idx: jax.Array,  # (B_local, S) int32 GLOBAL object ids, fill >= N_pad
+    obj_norm_sq: jax.Array,  # (N_local,)
+    n_valid_objects: jax.Array,  # () int32 — global count of real objects
+    k: int,
+    mode: int,
+) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
+    """shard_map body. Runs once per (data, model) mesh coordinate."""
+    n_local = objects_t.shape[1]
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    start = shard * n_local
+
+    dots = jnp.dot(
+        subjects, objects_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B_local, N_local)
+    if mode == Distance.EUCLIDEAN.value:
+        scores = 2.0 * dots - obj_norm_sq[None, :]
+    else:
+        scores = dots
+
+    # Global column ids of this shard's tile: mask padding past the catalog.
+    col_ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1)
+    scores = jnp.where(col_ids < n_valid_objects, scores, _NEG_INF)
+
+    # Seen filtering: global ids -> local offsets; ids on other shards must
+    # become positive out-of-bounds (dropped), never negative (jax scatter
+    # wraps negatives before the OOB check).
+    local_seen = seen_idx - start
+    local_seen = jnp.where(local_seen < 0, n_local + 1, local_seen)
+    rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
+    scores = scores.at[rows, local_seen].set(_NEG_INF, mode="drop")
+
+    k_local = min(k, n_local)
+    top_s, top_i = jax.lax.top_k(scores, k_local)
+    top_i = top_i + start  # back to global object ids
+
+    # Candidate exchange over ICI: (n_model, B_local, k_local) then merge.
+    gath_s = jax.lax.all_gather(top_s, MODEL_AXIS)
+    gath_i = jax.lax.all_gather(top_i, MODEL_AXIS)
+    cat_s = jnp.moveaxis(gath_s, 0, 1).reshape(subjects.shape[0], -1)
+    cat_i = jnp.moveaxis(gath_i, 0, 1).reshape(subjects.shape[0], -1)
+    best_s, pos = jax.lax.top_k(cat_s, k)
+    best_i = jnp.take_along_axis(cat_i, pos, axis=1)
+    valid = best_s > (_NEG_INF / 2)
+
+    if mode == Distance.COSINE.value:
+        sub_norm = jnp.linalg.norm(subjects, axis=1, keepdims=True)
+        report = jnp.where(sub_norm > 0, best_s / sub_norm, best_s)
+    elif mode == Distance.EUCLIDEAN.value:
+        sub_norm_sq = jnp.sum(subjects * subjects, axis=1, keepdims=True)
+        report = jnp.sqrt(jnp.clip(sub_norm_sq - best_s, 0.0, None))
+    else:
+        report = best_s
+    return best_i, report, valid
+
+
+class ShardedTopKEngine:
+    """Object table sharded over the ``model`` mesh axis, queries over ``data``.
+
+    Drop-in analogue of ``TopKEngine`` for meshes: same ``query_batch``
+    contract, but each chip holds only 1/n_model of the catalog and 1/n_data
+    of each query batch. Results are bit-identical to the single-device
+    engine (exact search; merge order ties break by lowest global id because
+    shard tiles are concatenated in id order).
+    """
+
+    def __init__(
+        self,
+        objects: np.ndarray,  # (N, D)
+        mesh: Mesh,
+        distance: Distance = Distance.DOT,
+        batch_size: int = 1024,
+    ) -> None:
+        self.mesh = mesh
+        self.distance = distance
+        self.n_objects, self.dim = objects.shape
+        self.batch_size = batch_size
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.n_model = mesh.shape[MODEL_AXIS]
+
+        objects = np.asarray(objects, dtype=np.float32)
+        if distance == Distance.COSINE:
+            objects = _normalize_rows(objects)
+        # Even shards of lane-aligned tiles: pad N to a multiple of 128*n_model.
+        n_pad = pad_to_multiple(max(self.n_objects, 128), 128 * self.n_model)
+        padded = np.zeros((n_pad, self.dim), dtype=np.float32)
+        padded[: self.n_objects] = objects
+        obj_sharding = NamedSharding(mesh, P(None, MODEL_AXIS))
+        self._objects_t = jax.device_put(jnp.asarray(padded.T), obj_sharding)
+        norm_sq = jnp.sum(jnp.asarray(padded.T) ** 2, axis=0)
+        self._obj_norm_sq = jax.device_put(norm_sq, NamedSharding(mesh, P(MODEL_AXIS)))
+        self._n_valid = jnp.int32(self.n_objects)
+        self._n_pad = n_pad
+
+        self._kernels: tp.Dict[int, tp.Callable] = {}
+
+    def _get_kernel(self, k: int) -> tp.Callable:
+        """jit'd shard_map per k (k is a closure constant: top_k needs a
+        static width and jit caches per distinct k anyway)."""
+        kernel = self._kernels.get(k)
+        if kernel is None:
+            kernel = jax.jit(
+                jax.shard_map(
+                    partial(_local_topk_merge, k=k, mode=self.distance.value),
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(DATA_AXIS, None),  # subjects
+                        P(None, MODEL_AXIS),  # objects_t
+                        P(DATA_AXIS, None),  # seen ids
+                        P(MODEL_AXIS),  # norms
+                        P(),  # n_valid
+                    ),
+                    out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                    # outputs are replicated over the model axis by the
+                    # all_gather+merge, which the static VMA check can't infer
+                    check_vma=False,
+                )
+            )
+            self._kernels[k] = kernel
+        return kernel
+
+    def query_batch(
+        self,
+        subjects: np.ndarray,  # (B, D)
+        k: int,
+        seen_idx: tp.Optional[np.ndarray] = None,  # (B, S) int32 global ids
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        b = subjects.shape[0]
+        # Batch must split evenly over the data axis; pad rows are dummy
+        # queries whose outputs are sliced off.
+        b_pad = pad_to_multiple(_next_pow2(b, minimum=8), self.n_data)
+        sub = np.zeros((b_pad, self.dim), dtype=np.float32)
+        sub[:b] = subjects
+        fill = self._n_pad + 1
+        if seen_idx is None:
+            seen = np.full((b_pad, 8), fill, dtype=np.int32)
+        else:
+            s_pad = _next_pow2(max(seen_idx.shape[1], 1), minimum=8)
+            seen = np.full((b_pad, s_pad), fill, dtype=np.int32)
+            seen[:b, : seen_idx.shape[1]] = np.where(seen_idx >= 0, seen_idx, fill)
+        k_eff = min(k, self.n_objects)
+        idx, scores, valid = self._get_kernel(k_eff)(
+            jnp.asarray(sub), self._objects_t, jnp.asarray(seen),
+            self._obj_norm_sq, self._n_valid,
+        )
+        return np.asarray(idx[:b]), np.asarray(scores[:b]), np.asarray(valid[:b])
+
+
+def rank_topk_sharded(
+    subjects: tp.Union[np.ndarray, sparse.csr_matrix],
+    objects: np.ndarray,
+    subject_ids: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    distance: Distance = Distance.DOT,
+    filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
+    sorted_object_whitelist: tp.Optional[np.ndarray] = None,
+    batch_size: int = 1024,
+) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mesh-parallel version of ``ops.topk.rank_topk`` with the same triplet
+    contract (reference rank/rank.py:36-64). Whitelists are applied by
+    gathering the object block before sharding, seen-filtering by global id
+    inside the kernel."""
+    if sorted_object_whitelist is not None:
+        object_block = np.asarray(objects[sorted_object_whitelist], dtype=np.float32)
+    else:
+        object_block = np.asarray(objects, dtype=np.float32)
+
+    engine = ShardedTopKEngine(object_block, mesh=mesh, distance=distance, batch_size=batch_size)
+    fill = engine._n_pad + 1
+
+    all_subj: tp.List[np.ndarray] = []
+    all_obj: tp.List[np.ndarray] = []
+    all_scores: tp.List[np.ndarray] = []
+    is_sparse_subjects = sparse.issparse(subjects)
+
+    for start in range(0, len(subject_ids), batch_size):
+        batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
+        batch_subject_ids = subject_ids[batch_pos]
+        if is_sparse_subjects:
+            sub_block = np.asarray(subjects[batch_subject_ids].todense(), dtype=np.float32)
+        else:
+            sub_block = np.asarray(subjects[batch_subject_ids], dtype=np.float32)
+
+        seen: tp.Optional[np.ndarray] = None
+        if filter_pairs_csr is not None:
+            seen_orig = _csr_rows_to_padded_idx(filter_pairs_csr, batch_pos, fill=-1)
+            if sorted_object_whitelist is not None and seen_orig.shape[1] > 0:
+                pos = np.searchsorted(sorted_object_whitelist, seen_orig)
+                pos_clipped = np.clip(pos, 0, len(sorted_object_whitelist) - 1)
+                hit = (seen_orig >= 0) & (sorted_object_whitelist[pos_clipped] == seen_orig)
+                seen = np.where(hit, pos_clipped, fill).astype(np.int32)
+            else:
+                seen = np.where(seen_orig >= 0, seen_orig, fill).astype(np.int32)
+
+        idx, scores, valid = engine.query_batch(sub_block, k, seen)
+        flat_valid = valid.ravel()
+        flat_idx = idx.ravel()[flat_valid]
+        flat_scores = scores.ravel()[flat_valid].astype(np.float32)
+        subj_rep = np.repeat(batch_subject_ids.astype(np.int64), valid.sum(axis=1))
+        if sorted_object_whitelist is not None:
+            obj_ids = sorted_object_whitelist[flat_idx].astype(np.int64)
+        else:
+            obj_ids = flat_idx.astype(np.int64)
+        all_subj.append(subj_rep)
+        all_obj.append(obj_ids)
+        all_scores.append(flat_scores)
+
+    if not all_subj:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.float32),
+        )
+    return np.concatenate(all_subj), np.concatenate(all_obj), np.concatenate(all_scores)
