@@ -39,6 +39,7 @@ class ALSModelConfig(ModelConfig):
     iterations: int = 15
     random_state: tp.Optional[int] = None
     fit_features_together: bool = False
+    mesh_shape: tp.Optional[tp.Tuple[int, int]] = None
 
 
 class ALSModel(VectorModel[ALSModelConfig]):
@@ -64,6 +65,7 @@ class ALSModel(VectorModel[ALSModelConfig]):
         iterations: int = 15,
         random_state: tp.Optional[int] = None,
         fit_features_together: bool = False,
+        mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
         verbose: int = 0,
     ):
         super().__init__(verbose=verbose)
@@ -73,6 +75,7 @@ class ALSModel(VectorModel[ALSModelConfig]):
         self.iterations = iterations
         self.random_state = random_state
         self.fit_features_together = fit_features_together
+        self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
         self.user_factors: np.ndarray
         self.item_factors: np.ndarray
         self._fitted_epochs = 0
@@ -86,6 +89,7 @@ class ALSModel(VectorModel[ALSModelConfig]):
             iterations=self.iterations,
             random_state=self.random_state,
             fit_features_together=self.fit_features_together,
+            mesh_shape=self.mesh_shape,
             verbose=self.verbose,
         )
 
@@ -98,6 +102,7 @@ class ALSModel(VectorModel[ALSModelConfig]):
             iterations=config.iterations,
             random_state=config.random_state,
             fit_features_together=config.fit_features_together,
+            mesh_shape=config.mesh_shape,
             verbose=config.verbose,
         )
 
@@ -126,6 +131,14 @@ class ALSModel(VectorModel[ALSModelConfig]):
         fresh = not self.is_fitted
         self._fit_epochs(dataset, epochs, fresh=fresh)
         self._fitted_epochs = (0 if fresh else self._fitted_epochs) + epochs
+
+    def _make_mesh(self):
+        """(data, model) mesh for sharded solves; None = single device."""
+        if self.mesh_shape is None:
+            return None
+        from ..parallel.mesh import make_mesh
+
+        return make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
 
     def _fit_epochs(self, dataset: Dataset, epochs: int, fresh: bool) -> None:
         ui_csr = dataset.get_user_item_matrix(include_weights=True).astype(np.float32)
@@ -174,6 +187,7 @@ class ALSModel(VectorModel[ALSModelConfig]):
             user_reset_values=user_explicit,
             item_reset_cols=(n_total - n_if, n_total),
             item_reset_values=item_explicit,
+            mesh=self._make_mesh(),
         )
         self.user_factors = user_factors
         self.item_factors = item_factors
@@ -195,7 +209,8 @@ class ALSModel(VectorModel[ALSModelConfig]):
             i_lat = self.item_factors[:, : self.factors].copy()
 
         conf_csr = (self.alpha * ui_csr).tocsr()
-        u_lat, i_lat = als_fit(conf_csr, u_lat, i_lat, self.regularization, epochs)
+        mesh = self._make_mesh()
+        u_lat, i_lat = als_fit(conf_csr, u_lat, i_lat, self.regularization, epochs, mesh=mesh)
 
         user_chunks = [u_lat]
         item_chunks = [i_lat]
@@ -203,12 +218,12 @@ class ALSModel(VectorModel[ALSModelConfig]):
 
         if user_features is not None:
             user_feature_factors = self._features_dense(user_features, n_users)
-            item_paired = als_half_step(iu_csr, user_feature_factors, self.regularization)
+            item_paired = als_half_step(iu_csr, user_feature_factors, self.regularization, mesh=mesh)
             user_chunks.append(user_feature_factors)
             item_chunks.append(item_paired)
         if item_features is not None:
             item_feature_factors = self._features_dense(item_features, n_items)
-            user_paired = als_half_step(conf_csr, item_feature_factors, self.regularization)
+            user_paired = als_half_step(conf_csr, item_feature_factors, self.regularization, mesh=mesh)
             item_chunks.append(item_feature_factors)
             user_chunks.append(user_paired)
 

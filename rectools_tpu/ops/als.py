@@ -23,7 +23,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy import sparse
+
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -68,17 +71,44 @@ def als_half_step(
     regularization: float,
     batch_size: int = 2048,
     out: tp.Optional[np.ndarray] = None,
+    mesh: tp.Optional[Mesh] = None,
 ) -> np.ndarray:
     """One ALS half-step: re-solve all subject factors against fixed `y`.
 
     Subjects with no interactions get zero factors (matching the A=YtY+regI,
     b=0 limit only up to the reg term: implicit leaves them at b=0 solution
     which is exactly zero).
+
+    With a ``mesh``, the Gram Y^T Y is computed with `y` row-sharded over all
+    mesh devices (XLA inserts the psum all-reduce over ICI — the SURVEY §2.9
+    "all-to-all gram-matrix exchange" plan), and the per-subject solve batches
+    shard over the ``data`` axis so wall-clock scales with data-parallel
+    width. Each system is independent, so results match single-device exactly.
     """
     n_subjects, n_objects = xy_csr.shape
     f = y.shape[1]
-    y_dev = jax.device_put(jnp.asarray(y, dtype=jnp.float32))
-    yty = _yty_reg(y_dev, jnp.float32(regularization))
+    if mesh is not None:
+        # Gram over row shards: contraction over the sharded dim -> psum.
+        # Zero-pad rows so the table splits evenly (zero rows add nothing).
+        n_dev = mesh.devices.size
+        n_rows_pad = ((n_objects + n_dev - 1) // n_dev) * n_dev
+        y_padded = np.zeros((n_rows_pad, f), dtype=np.float32)
+        y_padded[:n_objects] = y
+        y_rows_sharded = jax.device_put(
+            jnp.asarray(y_padded), NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+        )
+        yty = _yty_reg(y_rows_sharded, jnp.float32(regularization))
+        # Solve side gathers arbitrary rows of y: keep it replicated; batch
+        # rows carry the parallelism instead.
+        y_dev = jax.device_put(jnp.asarray(y, dtype=jnp.float32), NamedSharding(mesh, P()))
+        yty = jax.device_put(yty, NamedSharding(mesh, P()))
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        n_data = mesh.shape[DATA_AXIS]
+    else:
+        y_dev = jax.device_put(jnp.asarray(y, dtype=jnp.float32))
+        yty = _yty_reg(y_dev, jnp.float32(regularization))
+        batch_sharding = None
+        n_data = 1
 
     indptr = xy_csr.indptr
     lengths = (indptr[1:] - indptr[:-1]).astype(np.int64)
@@ -98,6 +128,8 @@ def als_half_step(
             continue
         l_pad = _next_pow2(max_len, minimum=8)
         b_pad = _next_pow2(b, minimum=8)
+        if b_pad % n_data:
+            b_pad = ((b_pad + n_data - 1) // n_data) * n_data
         idx = np.zeros((b_pad, l_pad), dtype=np.int32)
         conf = np.zeros((b_pad, l_pad), dtype=np.float32)
         row_lens = lengths[rows]
@@ -107,7 +139,11 @@ def als_half_step(
         src = np.repeat(indptr[rows].astype(np.int64), row_lens) + col_pos
         idx[row_pos, col_pos] = xy_csr.indices[src]
         conf[row_pos, col_pos] = xy_csr.data[src]
-        x = _solve_batch(y_dev, yty, jnp.asarray(idx), jnp.asarray(conf))
+        idx_dev, conf_dev = jnp.asarray(idx), jnp.asarray(conf)
+        if batch_sharding is not None:
+            idx_dev = jax.device_put(idx_dev, batch_sharding)
+            conf_dev = jax.device_put(conf_dev, batch_sharding)
+        x = _solve_batch(y_dev, yty, idx_dev, conf_dev)
         result[rows] = np.asarray(x[:b])
         start = stop
     return result
@@ -123,6 +159,7 @@ def als_fit(
     user_reset_values: tp.Optional[np.ndarray] = None,
     item_reset_cols: tp.Optional[tp.Tuple[int, int]] = None,
     item_reset_values: tp.Optional[np.ndarray] = None,
+    mesh: tp.Optional[Mesh] = None,
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
     """Full ALS loop with optional explicit-feature column resetting.
 
@@ -135,11 +172,11 @@ def als_fit(
     """
     iu_csr = ui_csr.T.tocsr(copy=False)
     for _ in range(iterations):
-        user_factors = als_half_step(ui_csr, item_factors, regularization, out=user_factors)
+        user_factors = als_half_step(ui_csr, item_factors, regularization, out=user_factors, mesh=mesh)
         if user_reset_cols is not None:
             s, e = user_reset_cols
             user_factors[:, s:e] = user_reset_values
-        item_factors = als_half_step(iu_csr, user_factors, regularization, out=item_factors)
+        item_factors = als_half_step(iu_csr, user_factors, regularization, out=item_factors, mesh=mesh)
         if item_reset_cols is not None:
             s, e = item_reset_cols
             item_factors[:, s:e] = item_reset_values

@@ -148,3 +148,45 @@ class TestALSWithFeatures:
     def test_second_fit_with_features(self, featured_dataset):
         model = ALSModel(factors=4, iterations=2, random_state=32, fit_features_together=True)
         assert_second_fit_refits_model(model, featured_dataset)
+
+
+class TestShardedALS:
+    """mesh_shape option: Gram via psum over row shards + data-parallel solves
+    must match single-device results exactly (per-subject systems are
+    independent)."""
+
+    def test_half_step_matches_single_device(self):
+        from rectools_tpu.ops.als import als_half_step as hs
+        from rectools_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        csr = sparse.random(53, 40, density=0.2, random_state=0, format="csr", dtype=np.float32)
+        csr.data = 1.0 + csr.data * 10
+        y = rng.normal(size=(40, 16)).astype(np.float32)
+        mesh = make_mesh(n_data=4, n_model=2)
+        ref = hs(csr, y, 0.05)
+        got = hs(csr, y, 0.05, mesh=mesh)
+        np.testing.assert_allclose(ref, got, rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+    def test_model_matches_single_device(self, mesh_shape):
+        m1 = ALSModel(factors=4, iterations=3, random_state=32).fit(DATASET)
+        m2 = ALSModel(factors=4, iterations=3, random_state=32, mesh_shape=mesh_shape).fit(DATASET)
+        r1 = m1.recommend([10, 20, 30], DATASET, k=3, filter_viewed=False)
+        r2 = m2.recommend([10, 20, 30], DATASET, k=3, filter_viewed=False)
+        np.testing.assert_array_equal(r1[Columns.Item].values, r2[Columns.Item].values)
+        np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, rtol=1e-3, atol=1e-5)
+
+    def test_features_together_matches(self, featured_dataset):
+        m1 = ALSModel(factors=4, iterations=2, random_state=32, fit_features_together=True)
+        m2 = ALSModel(
+            factors=4, iterations=2, random_state=32, fit_features_together=True, mesh_shape=(4, 2)
+        )
+        m1.fit(featured_dataset)
+        m2.fit(featured_dataset)
+        np.testing.assert_allclose(m1.item_factors, m2.item_factors, rtol=1e-3, atol=1e-5)
+
+    def test_config_round_trip_keeps_mesh_shape(self):
+        model = ALSModel(factors=4, mesh_shape=(4, 2))
+        restored = ALSModel.from_config(model.get_config())
+        assert restored.mesh_shape == (4, 2)
