@@ -189,6 +189,11 @@ class SparseFeatures:
         return csr, [(feature_name, v) for v in unq_values]
 
     @property
+    def cat_col_mask(self) -> np.ndarray:
+        """Boolean mask of categorical columns (reference features.py:454)."""
+        return np.array([v != DIRECT_FEATURE_VALUE for _, v in self.names], dtype=bool)
+
+    @property
     def cat_feature_indices(self) -> np.ndarray:
         """Column indices of categorical (one-hot) features."""
         return np.array([i for i, (_, v) in enumerate(self.names) if v != DIRECT_FEATURE_VALUE], dtype=int)

@@ -23,6 +23,7 @@ class EASEModelConfig(ModelConfig):
     """Config for `EASEModel`."""
 
     regularization: float = 500.0
+    mesh_shape: tp.Optional[tp.Tuple[int, int]] = None
 
 
 class EASEModel(ModelBase[EASEModelConfig]):
@@ -37,21 +38,37 @@ class EASEModel(ModelBase[EASEModelConfig]):
 
     config_class = EASEModelConfig
 
-    def __init__(self, regularization: float = 500.0, verbose: int = 0):
+    def __init__(
+        self,
+        regularization: float = 500.0,
+        mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
+        verbose: int = 0,
+    ):
         super().__init__(verbose=verbose)
         self.weight: np.ndarray
         self.regularization = regularization
+        self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
 
     def _get_config(self) -> EASEModelConfig:
-        return EASEModelConfig(cls=self.__class__, regularization=self.regularization, verbose=self.verbose)
+        return EASEModelConfig(
+            cls=self.__class__,
+            regularization=self.regularization,
+            mesh_shape=self.mesh_shape,
+            verbose=self.verbose,
+        )
 
     @classmethod
     def _from_config(cls, config: EASEModelConfig) -> tpe.Self:
-        return cls(regularization=config.regularization, verbose=config.verbose)
+        return cls(regularization=config.regularization, mesh_shape=config.mesh_shape, verbose=config.verbose)
 
     def _fit(self, dataset: Dataset) -> None:
         ui_csr = dataset.get_user_item_matrix(include_weights=True)
-        self.weight = ease_weight(ui_csr, self.regularization)
+        mesh = None
+        if self.mesh_shape is not None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
+        self.weight = ease_weight(ui_csr, self.regularization, mesh=mesh)
 
     def _recommend_u2i(
         self,

@@ -26,6 +26,7 @@ class PureSVDModelConfig(ModelConfig):
     tol: float = 0
     maxiter: tp.Optional[int] = None
     random_state: tp.Optional[int] = None
+    mesh_shape: tp.Optional[tp.Tuple[int, int]] = None
 
 
 class PureSVDModel(VectorModel[PureSVDModelConfig]):
@@ -45,6 +46,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
         tol: float = 0,
         maxiter: tp.Optional[int] = None,
         random_state: tp.Optional[int] = None,
+        mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
         verbose: int = 0,
     ):
         super().__init__(verbose=verbose)
@@ -52,6 +54,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
         self.tol = tol
         self.maxiter = maxiter
         self.random_state = random_state
+        self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
         self.user_factors: np.ndarray
         self.item_factors: np.ndarray
 
@@ -62,6 +65,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             tol=self.tol,
             maxiter=self.maxiter,
             random_state=self.random_state,
+            mesh_shape=self.mesh_shape,
             verbose=self.verbose,
         )
 
@@ -72,12 +76,18 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             tol=config.tol,
             maxiter=config.maxiter,
             random_state=config.random_state,
+            mesh_shape=config.mesh_shape,
             verbose=config.verbose,
         )
 
     def _fit(self, dataset: Dataset) -> None:
         ui_csr = dataset.get_user_item_matrix(include_weights=True)
-        self.user_factors, self.item_factors = truncated_svd(ui_csr, self.factors)
+        mesh = None
+        if self.mesh_shape is not None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
+        self.user_factors, self.item_factors = truncated_svd(ui_csr, self.factors, mesh=mesh)
 
     def _get_users_factors(self, dataset: Dataset) -> Factors:
         return Factors(self.user_factors)

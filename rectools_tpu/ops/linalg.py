@@ -16,7 +16,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy import sparse
+
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -26,13 +29,36 @@ def _gram_accumulate(gram: jax.Array, block: jax.Array) -> jax.Array:
     return gram + jnp.dot(block.T, block, preferred_element_type=jnp.float32, precision=_HI)
 
 
-def gram_matrix(ui_csr: sparse.csr_matrix, block_rows: int = 8192) -> jax.Array:
-    """X^T X on device, accumulated over dense row blocks of the CSR matrix."""
+def gram_matrix(
+    ui_csr: sparse.csr_matrix, block_rows: int = 8192, mesh: tp.Optional[Mesh] = None
+) -> jax.Array:
+    """X^T X on device, accumulated over dense row blocks of the CSR matrix.
+
+    With a ``mesh``, each block is row-sharded over all mesh devices so the
+    contraction happens as per-shard partial Grams + an XLA psum over ICI
+    (the SURVEY §2.9 "sharded Gram for EASE/PureSVD" plan); the accumulated
+    Gram itself stays replicated because the downstream Cholesky/eigh is a
+    single-device XLA call either way.
+    """
     n_users, n_items = ui_csr.shape
     gram = jnp.zeros((n_items, n_items), dtype=jnp.float32)
+    block_sharding = None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        block_rows = ((block_rows + n_dev - 1) // n_dev) * n_dev
+        block_sharding = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+        gram = jax.device_put(gram, NamedSharding(mesh, P()))
     for start in range(0, n_users, block_rows):
         block = np.asarray(ui_csr[start : start + block_rows].todense(), dtype=np.float32)
-        gram = _gram_accumulate(gram, jnp.asarray(block))
+        if block_sharding is not None:
+            n_dev = mesh.devices.size
+            if block.shape[0] % n_dev:
+                pad = ((block.shape[0] + n_dev - 1) // n_dev) * n_dev - block.shape[0]
+                block = np.vstack([block, np.zeros((pad, n_items), dtype=np.float32)])
+            block_dev = jax.device_put(jnp.asarray(block), block_sharding)
+        else:
+            block_dev = jnp.asarray(block)
+        gram = _gram_accumulate(gram, block_dev)
     return gram
 
 
@@ -47,10 +73,12 @@ def _ease_weight_from_gram(gram: jax.Array, regularization: jax.Array) -> jax.Ar
     return w
 
 
-def ease_weight(ui_csr: sparse.csr_matrix, regularization: float) -> np.ndarray:
+def ease_weight(
+    ui_csr: sparse.csr_matrix, regularization: float, mesh: tp.Optional[Mesh] = None
+) -> np.ndarray:
     """EASE closed-form weights: W = G^-1 / (-diag(G^-1)), zero diagonal
     (same row/column normalization convention as reference ease.py:122-132)."""
-    gram = gram_matrix(ui_csr)
+    gram = gram_matrix(ui_csr, mesh=mesh)
     w = _ease_weight_from_gram(gram, jnp.float32(regularization))
     return np.asarray(w)
 
@@ -64,7 +92,7 @@ def _topk_eigh(gram: jax.Array, factors: int) -> tp.Tuple[jax.Array, jax.Array]:
 
 
 def truncated_svd(
-    ui_csr: sparse.csr_matrix, factors: int, block_rows: int = 8192
+    ui_csr: sparse.csr_matrix, factors: int, block_rows: int = 8192, mesh: tp.Optional[Mesh] = None
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
     """Truncated SVD X ~= U diag(s) V^T via eigh of the item Gram.
 
@@ -74,7 +102,7 @@ def truncated_svd(
     n_users, n_items = ui_csr.shape
     if factors > min(n_users, n_items) - 1:
         raise ValueError("`factors` must be less than min(n_users, n_items)")
-    gram = gram_matrix(ui_csr, block_rows)
+    gram = gram_matrix(ui_csr, block_rows, mesh=mesh)
     eigvals, v = _topk_eigh(gram, factors)
     eigvals = np.asarray(eigvals)
     v = np.asarray(v)

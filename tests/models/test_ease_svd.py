@@ -133,3 +133,25 @@ class TestModelBaseContract:
         model = model_from_params({"cls": "PureSVDModel", "factors": 3})
         assert isinstance(model, PureSVDModel)
         assert model.factors == 3
+
+
+class TestShardedGram:
+    """mesh_shape option: Gram accumulated from row-sharded blocks (psum over
+    mesh) must give the same closed-form weights/factors."""
+
+    def test_ease_matches_single_device(self):
+        m1 = EASEModel(regularization=100.0).fit(DATASET)
+        m2 = EASEModel(regularization=100.0, mesh_shape=(4, 2)).fit(DATASET)
+        np.testing.assert_allclose(m1.weight, m2.weight, rtol=1e-4, atol=1e-5)
+
+    def test_pure_svd_matches_single_device(self):
+        m1 = PureSVDModel(factors=2, random_state=32).fit(DATASET)
+        m2 = PureSVDModel(factors=2, random_state=32, mesh_shape=(8, 1)).fit(DATASET)
+        r1 = m1.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        r2 = m2.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        np.testing.assert_array_equal(r1[Columns.Item].values, r2[Columns.Item].values)
+        np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, rtol=1e-3, atol=1e-5)
+
+    def test_config_round_trip_keeps_mesh_shape(self):
+        assert EASEModel.from_config(EASEModel(mesh_shape=(4, 2)).get_config()).mesh_shape == (4, 2)
+        assert PureSVDModel.from_config(PureSVDModel(mesh_shape=(2, 4)).get_config()).mesh_shape == (2, 4)
