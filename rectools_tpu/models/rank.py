@@ -46,7 +46,7 @@ class TPURanker:
         distance: Distance,
         subjects_factors: tp.Union[np.ndarray, sparse.csr_matrix],
         objects_factors: np.ndarray,
-        batch_size: int = 1024,
+        batch_size: int = 4096,
         mesh: tp.Optional["Mesh"] = None,
     ) -> None:
         self.distance = distance

@@ -194,7 +194,7 @@ def random_rank_topk(
     k: int,
     filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
     sorted_object_whitelist: tp.Optional[np.ndarray] = None,
-    batch_size: int = 1024,
+    batch_size: int = 4096,
 ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Random top-k per subject with seen/whitelist filtering on device.
 
@@ -216,6 +216,9 @@ def random_rank_topk(
     n_batches = math.ceil(len(subject_ids) / batch_size)
     keys = jax.random.split(rng_key, max(n_batches, 1))
 
+    # Dispatch-all-then-materialize (see rank_topk): keeps device round trips
+    # overlapped instead of one sync per batch.
+    pending: tp.List[tp.Tuple[np.ndarray, int, tp.Any]] = []
     for bi, start in enumerate(range(0, len(subject_ids), batch_size)):
         batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
         batch_subject_ids = subject_ids[batch_pos]
@@ -237,7 +240,10 @@ def random_rank_topk(
         else:
             seen = np.full((b_pad, 8), fill, dtype=np.int32)
 
-        idx, valid = _random_mask_topk(keys[bi], jnp.asarray(seen), jnp.int32(n_candidates), n_pad, k_eff)
+        handles = _random_mask_topk(keys[bi], jnp.asarray(seen), jnp.int32(n_candidates), n_pad, k_eff)
+        pending.append((batch_subject_ids, b, handles))
+
+    for batch_subject_ids, b, (idx, valid) in pending:
         idx = np.asarray(idx[:b])
         valid = np.asarray(valid[:b])
         counts = valid.sum(axis=1)
@@ -278,7 +284,7 @@ class TopKEngine:
         self,
         objects: np.ndarray,  # (N, D) float
         distance: Distance = Distance.DOT,
-        batch_size: int = 1024,
+        batch_size: int = 4096,
         use_bfloat16: bool = False,
     ) -> None:
         self.distance = distance
@@ -315,12 +321,15 @@ class TopKEngine:
                         best = cand
         return best * 128
 
-    def query_batch(
+    def query_batch_async(
         self,
         subjects: np.ndarray,  # (B, D)
         k: int,
         seen_idx: tp.Optional[np.ndarray] = None,  # (B, S) int32, fill >= n_objects
-    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
+        """Dispatch one query batch; returns device arrays immediately (jax
+        async dispatch) so callers can pipeline many batches before syncing
+        via `materialize`."""
         b = subjects.shape[0]
         b_pad = _next_pow2(b, minimum=8)
         sub = np.zeros((b_pad, self.dim), dtype=np.float32)
@@ -334,7 +343,7 @@ class TopKEngine:
         k_eff = min(k, self.n_objects)
         chunk = self._pick_chunk(b_pad)
         if chunk is not None:
-            idx, scores, valid = _score_mask_topk_chunked(
+            return _score_mask_topk_chunked(
                 jnp.asarray(sub),
                 self._objects_t,
                 jnp.asarray(seen),
@@ -344,21 +353,31 @@ class TopKEngine:
                 self.distance.value,
                 chunk,
             )
-        else:
-            idx, scores, valid = _score_mask_topk(
-                jnp.asarray(sub),
-                self._objects_t,
-                jnp.asarray(seen),
-                self._obj_norm_sq,
-                self._n_valid,
-                k_eff,
-                self.distance.value,
-            )
-        return (
-            np.asarray(idx[:b]),
-            np.asarray(scores[:b]),
-            np.asarray(valid[:b]),
+        return _score_mask_topk(
+            jnp.asarray(sub),
+            self._objects_t,
+            jnp.asarray(seen),
+            self._obj_norm_sq,
+            self._n_valid,
+            k_eff,
+            self.distance.value,
         )
+
+    @staticmethod
+    def materialize(
+        handles: tp.Tuple[jax.Array, jax.Array, jax.Array], b: int
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sync point for a `query_batch_async` result: strip padding rows."""
+        idx, scores, valid = handles
+        return np.asarray(idx[:b]), np.asarray(scores[:b]), np.asarray(valid[:b])
+
+    def query_batch(
+        self,
+        subjects: np.ndarray,  # (B, D)
+        k: int,
+        seen_idx: tp.Optional[np.ndarray] = None,  # (B, S) int32, fill >= n_objects
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.materialize(self.query_batch_async(subjects, k, seen_idx), subjects.shape[0])
 
 
 def _csr_rows_to_padded_idx(
@@ -396,7 +415,7 @@ def rank_topk(
     distance: Distance = Distance.DOT,
     filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
     sorted_object_whitelist: tp.Optional[np.ndarray] = None,
-    batch_size: int = 1024,
+    batch_size: int = 4096,
 ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rank top-k objects for each subject. Returns (subject_ids, object_ids, scores)
     flattened triplets, sorted by rank per subject (contract of reference
@@ -421,6 +440,11 @@ def rank_topk(
 
     is_sparse_subjects = sparse.issparse(subjects)
 
+    # Two-phase serving loop: dispatch every batch first (jax dispatch is
+    # async, so H2D + kernel launches pipeline on-device / over the link),
+    # then materialize results. A per-batch np.asarray would serialize one
+    # full device round trip per batch.
+    pending: tp.List[tp.Tuple[np.ndarray, tp.Any]] = []
     for start in range(0, len(subject_ids), batch_size):
         batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
         batch_subject_ids = subject_ids[batch_pos]
@@ -443,7 +467,10 @@ def rank_topk(
             else:
                 seen = np.where(seen_orig >= 0, seen_orig, fill).astype(np.int32)
 
-        idx, scores, valid = engine.query_batch(sub_block, k, seen)
+        pending.append((batch_subject_ids, engine.query_batch_async(sub_block, k, seen)))
+
+    for batch_subject_ids, handles in pending:
+        idx, scores, valid = engine.materialize(handles, len(batch_subject_ids))
         # Vectorised strip of masked entries (the reference's neginf-sentinel
         # strip at rank_implicit.py:83-118): rows stay rank-sorted because
         # flatten preserves per-row order.

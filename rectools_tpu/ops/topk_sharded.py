@@ -103,7 +103,7 @@ class ShardedTopKEngine:
         objects: np.ndarray,  # (N, D)
         mesh: Mesh,
         distance: Distance = Distance.DOT,
-        batch_size: int = 1024,
+        batch_size: int = 4096,
     ) -> None:
         self.mesh = mesh
         self.distance = distance
@@ -153,12 +153,14 @@ class ShardedTopKEngine:
             self._kernels[k] = kernel
         return kernel
 
-    def query_batch(
+    def query_batch_async(
         self,
         subjects: np.ndarray,  # (B, D)
         k: int,
         seen_idx: tp.Optional[np.ndarray] = None,  # (B, S) int32 global ids
-    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
+        """Dispatch one sharded query batch without syncing (see
+        TopKEngine.query_batch_async)."""
         b = subjects.shape[0]
         # Batch must split evenly over the data axis; pad rows are dummy
         # queries whose outputs are sliced off.
@@ -173,11 +175,25 @@ class ShardedTopKEngine:
             seen = np.full((b_pad, s_pad), fill, dtype=np.int32)
             seen[:b, : seen_idx.shape[1]] = np.where(seen_idx >= 0, seen_idx, fill)
         k_eff = min(k, self.n_objects)
-        idx, scores, valid = self._get_kernel(k_eff)(
+        return self._get_kernel(k_eff)(
             jnp.asarray(sub), self._objects_t, jnp.asarray(seen),
             self._obj_norm_sq, self._n_valid,
         )
+
+    @staticmethod
+    def materialize(
+        handles: tp.Tuple[jax.Array, jax.Array, jax.Array], b: int
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        idx, scores, valid = handles
         return np.asarray(idx[:b]), np.asarray(scores[:b]), np.asarray(valid[:b])
+
+    def query_batch(
+        self,
+        subjects: np.ndarray,  # (B, D)
+        k: int,
+        seen_idx: tp.Optional[np.ndarray] = None,  # (B, S) int32 global ids
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.materialize(self.query_batch_async(subjects, k, seen_idx), subjects.shape[0])
 
 
 def rank_topk_sharded(
@@ -189,7 +205,7 @@ def rank_topk_sharded(
     distance: Distance = Distance.DOT,
     filter_pairs_csr: tp.Optional[sparse.csr_matrix] = None,
     sorted_object_whitelist: tp.Optional[np.ndarray] = None,
-    batch_size: int = 1024,
+    batch_size: int = 4096,
 ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mesh-parallel version of ``ops.topk.rank_topk`` with the same triplet
     contract (reference rank/rank.py:36-64). Whitelists are applied by
@@ -208,6 +224,8 @@ def rank_topk_sharded(
     all_scores: tp.List[np.ndarray] = []
     is_sparse_subjects = sparse.issparse(subjects)
 
+    # Dispatch every batch before syncing any (see ops/topk.py rank_topk).
+    pending: tp.List[tp.Tuple[np.ndarray, tp.Any]] = []
     for start in range(0, len(subject_ids), batch_size):
         batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
         batch_subject_ids = subject_ids[batch_pos]
@@ -227,7 +245,10 @@ def rank_topk_sharded(
             else:
                 seen = np.where(seen_orig >= 0, seen_orig, fill).astype(np.int32)
 
-        idx, scores, valid = engine.query_batch(sub_block, k, seen)
+        pending.append((batch_subject_ids, engine.query_batch_async(sub_block, k, seen)))
+
+    for batch_subject_ids, handles in pending:
+        idx, scores, valid = engine.materialize(handles, len(batch_subject_ids))
         flat_valid = valid.ravel()
         flat_idx = idx.ravel()[flat_valid]
         flat_scores = scores.ravel()[flat_valid].astype(np.float32)
