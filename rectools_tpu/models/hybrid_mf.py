@@ -34,7 +34,7 @@ from .utils import recommend_from_scores
 from .vector import Factors, VectorModel
 from ..ops.hybrid_mf import init_params, make_optimizer, pad_feature_table, train_step
 
-HybridMFLoss = tp.Literal["logistic", "bpr", "warp"]
+HybridMFLoss = tp.Literal["logistic", "bpr", "warp", "warp-kos"]
 
 
 class HybridMFModelConfig(ModelConfig):
@@ -49,6 +49,8 @@ class HybridMFModelConfig(ModelConfig):
     item_alpha: float = 0.0
     user_alpha: float = 0.0
     max_sampled: int = 10
+    k: int = 5
+    n: int = 10
     epochs: int = 1
     batch_size: int = 4096
     random_state: int = 0
@@ -76,6 +78,8 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
         item_alpha: float = 0.0,
         user_alpha: float = 0.0,
         max_sampled: int = 10,
+        k: int = 5,
+        n: int = 10,
         epochs: int = 1,
         batch_size: int = 4096,
         random_state: int = 0,
@@ -91,6 +95,8 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
         self.item_alpha = item_alpha
         self.user_alpha = user_alpha
         self.max_sampled = max_sampled
+        self.k = k
+        self.n = n
         self.epochs = epochs
         self.batch_size = batch_size
         self.random_state = random_state
@@ -111,6 +117,8 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
             item_alpha=self.item_alpha,
             user_alpha=self.user_alpha,
             max_sampled=self.max_sampled,
+            k=self.k,
+            n=self.n,
             epochs=self.epochs,
             batch_size=self.batch_size,
             random_state=self.random_state,
@@ -173,6 +181,14 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
         n = len(users)
         bs = min(self.batch_size, max(n, 1))
 
+        kos = self.loss == "warp-kos"
+        if kos:
+            # per-user positive lists for k-OS sampling (LightFM's n draws)
+            ui_csr = sparse.csr_matrix(ui_coo)
+            kos_indptr = ui_csr.indptr
+            kos_indices = ui_csr.indices
+            kos_lengths = np.maximum(np.diff(kos_indptr), 1)
+
         rng = np.random.default_rng(np.random.SeedSequence(entropy=(self.random_state, self._epochs_trained)))
         key = jax.random.PRNGKey(self.random_state + 17)
         step = 0
@@ -182,8 +198,15 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
                 rows = order[start : start + bs]
                 b = len(rows)
                 batch_users = users[rows]
-                batch_items = np.zeros(bs, dtype=np.int64)
-                batch_items[:b] = items[rows]
+                if kos:
+                    # draw n positives (with replacement) from each row's user
+                    batch_items = np.zeros((bs, self.n), dtype=np.int64)
+                    u = batch_users[:b]
+                    offsets = (rng.random((b, self.n)) * kos_lengths[u][:, None]).astype(np.int64)
+                    batch_items[:b] = kos_indices[kos_indptr[u][:, None] + offsets]
+                else:
+                    batch_items = np.zeros(bs, dtype=np.int64)
+                    batch_items[:b] = items[rows]
                 batch_weights = np.zeros(bs, dtype=np.float32)
                 batch_weights[:b] = weights[rows]
                 uf_idx = np.zeros((bs, u_idx.shape[1]), dtype=np.int32)
@@ -208,6 +231,7 @@ class HybridMFModel(FixedColdRecoModelMixin, VectorModel[HybridMFModelConfig]):
                     tx=tx,
                     user_alpha=self.user_alpha,
                     item_alpha=self.item_alpha,
+                    kos_k=self.k,
                 )
                 step += 1
             self._epochs_trained += 1

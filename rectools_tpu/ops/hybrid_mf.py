@@ -62,7 +62,7 @@ def make_optimizer(learning_schedule: str, learning_rate: float, rho: float, eps
 
 @partial(
     jax.jit,
-    static_argnames=("loss", "max_sampled", "n_items", "tx"),
+    static_argnames=("loss", "max_sampled", "n_items", "tx", "kos_k"),
     donate_argnums=(0, 1),
 )
 def train_step(
@@ -72,7 +72,7 @@ def train_step(
     user_feat_val: jnp.ndarray,
     item_feat_idx: jnp.ndarray,  # (n_items, Pi) full table
     item_feat_val: jnp.ndarray,
-    pos_items: jnp.ndarray,  # (B,) int32
+    pos_items: jnp.ndarray,  # (B,) int32; for warp-kos: (B, n) sampled positives
     weights: jnp.ndarray,  # (B,) float (sample weight; 0 => padded row)
     rng: jax.Array,
     loss: str,
@@ -81,13 +81,29 @@ def train_step(
     tx: optax.GradientTransformation,
     user_alpha: float = 0.0,
     item_alpha: float = 0.0,
+    kos_k: int = 5,
 ) -> tp.Tuple[Params, tp.Any, jnp.ndarray]:
     """One minibatch SGD step. Padded rows (weight 0) contribute nothing."""
 
     def loss_fn(p: Params) -> jnp.ndarray:
         u_vec, u_b = _repr_of(p["user_emb"], p["user_bias"], user_feat_idx, user_feat_val)
-        pos_vec, pos_b = _repr_of(p["item_emb"], p["item_bias"], item_feat_idx[pos_items], item_feat_val[pos_items])
-        pos_score = jnp.sum(u_vec * pos_vec, axis=-1) + u_b + pos_b  # (B,)
+        if loss == "warp-kos":
+            # k-th order statistic positive (Weston et al. k-OS WARP; LightFM
+            # `loss="warp-kos"` with its k/n params): score the n sampled
+            # positives per user and train on the k-th best-scoring one.
+            cand_vec, cand_b = _repr_of(
+                p["item_emb"], p["item_bias"], item_feat_idx[pos_items], item_feat_val[pos_items]
+            )  # (B, n, d), (B, n)
+            cand_score = jnp.einsum("bd,bnd->bn", u_vec, cand_vec) + u_b[:, None] + cand_b
+            order = jnp.argsort(-cand_score, axis=1)  # descending
+            kth = order[:, min(kos_k, pos_items.shape[1]) - 1]  # (B,)
+            pos_vec = jnp.take_along_axis(cand_vec, kth[:, None, None], axis=1)[:, 0]
+            pos_score = jnp.take_along_axis(cand_score, kth[:, None], axis=1)[:, 0]
+        else:
+            pos_vec, pos_b = _repr_of(
+                p["item_emb"], p["item_bias"], item_feat_idx[pos_items], item_feat_val[pos_items]
+            )
+            pos_score = jnp.sum(u_vec * pos_vec, axis=-1) + u_b + pos_b  # (B,)
         valid = (weights != 0).astype(jnp.float32)
 
         if loss == "logistic":
@@ -109,7 +125,7 @@ def train_step(
                 diff = pos_score - neg_score[:, 0]
                 per = jnp.log1p(jnp.exp(-diff))
                 data_loss = jnp.sum(per * jnp.abs(weights)) / jnp.maximum(jnp.sum(valid), 1.0)
-            else:  # warp
+            else:  # warp / warp-kos (same rank loss, different positive)
                 # violation: margin rank loss triggered when 1 - s_pos + s_neg > 0
                 violations = neg_score > pos_score[:, None] - 1.0  # (B, M)
                 any_violation = violations.any(axis=1)

@@ -29,7 +29,7 @@ def _structured_dataset() -> Dataset:
 
 
 class TestHybridMF:
-    @pytest.mark.parametrize("loss", ["bpr", "warp"])
+    @pytest.mark.parametrize("loss", ["bpr", "warp", "warp-kos"])
     def test_learns_block_structure(self, loss) -> None:
         # logistic on positives-only data cannot rank discriminatively (same
         # as LightFM's logistic loss on implicit feedback), so only the
@@ -42,6 +42,12 @@ class TestHybridMF:
         # mostly from the unseen items of their own block (items 0..9)
         own_block = (reco[Columns.Item] < 10).mean()
         assert own_block > 0.6, f"{loss}: only {own_block:.0%} in own block"
+
+    def test_warp_kos_config_round_trip(self) -> None:
+        model = HybridMFModel(loss="warp-kos", k=3, n=7)
+        restored = HybridMFModel.from_config(model.get_config())
+        assert restored.loss == "warp-kos"
+        assert (restored.k, restored.n) == (3, 7)
 
     def test_logistic_trains_without_nan(self) -> None:
         dataset = _structured_dataset()
