@@ -50,7 +50,7 @@ def _next_pow2(n: int, minimum: int = 8) -> int:
     return max(minimum, 1 << max(0, (n - 1).bit_length()))
 
 
-@partial(jax.jit, static_argnames=("k", "mode"))
+@partial(jax.jit, static_argnames=("k", "mode", "approx"))
 def _score_mask_topk(
     subjects: jax.Array,  # (B, D) f32
     objects_t: jax.Array,  # (D, N_pad) f32 (COSINE: pre-normalised)
@@ -59,6 +59,7 @@ def _score_mask_topk(
     n_valid_objects: jax.Array,  # () int32 — objects >= this are padding
     k: int,
     mode: int,  # Distance.value (static)
+    approx: bool = False,
 ) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
     """Core kernel: returns (top_idx (B,k) i32, report_scores (B,k) f32, valid (B,k) bool)."""
     # HIGHEST precision: full-f32 MXU passes. Ranking parity with the exact
@@ -82,7 +83,14 @@ def _score_mask_topk(
     rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
     rank_scores = rank_scores.at[rows, seen_idx].set(_NEG_INF, mode="drop")
 
-    top_scores, top_idx = jax.lax.top_k(rank_scores, k)
+    if approx:
+        # TPU-native approximate search (the nmslib-HNSW role of reference
+        # tools/ann.py, but as one XLA op): recall ~95% at much lower sort
+        # cost for large catalogs.
+        top_scores, top_idx = jax.lax.approx_max_k(rank_scores, k, recall_target=0.95)
+        top_idx = top_idx.astype(jnp.int32)
+    else:
+        top_scores, top_idx = jax.lax.top_k(rank_scores, k)
     valid = top_scores > (_NEG_INF / 2)
 
     if mode == Distance.COSINE.value:
@@ -286,8 +294,10 @@ class TopKEngine:
         distance: Distance = Distance.DOT,
         batch_size: int = 4096,
         use_bfloat16: bool = False,
+        approximate: bool = False,
     ) -> None:
         self.distance = distance
+        self.approximate = approximate
         self.n_objects, self.dim = objects.shape
         self.batch_size = batch_size
         objects = np.asarray(objects, dtype=np.float32)
@@ -361,6 +371,7 @@ class TopKEngine:
             self._n_valid,
             k_eff,
             self.distance.value,
+            self.approximate,
         )
 
     @staticmethod

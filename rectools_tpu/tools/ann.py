@@ -32,7 +32,9 @@ class BaseAnnRecommender:
         item_id_map: tp.Union[IdMap, tp.Dict[ExternalId, InternalId]],
         index_top_k: int = 0,
         distance: Distance = Distance.COSINE,
+        approximate: bool = False,
     ) -> None:
+        self.approximate = approximate
         self.item_vectors = np.asarray(item_vectors, dtype=np.float32)
         if isinstance(item_id_map, dict):
             self.item_id_map = IdMap.from_dict(item_id_map)
@@ -44,7 +46,9 @@ class BaseAnnRecommender:
 
     def fit(self: T, verbose: bool = False) -> T:
         """Load the item table to device (the reference builds an HNSW index here)."""
-        self._engine = TopKEngine(self.item_vectors, distance=self.distance)
+        self._engine = TopKEngine(
+            self.item_vectors, distance=self.distance, approximate=self.approximate
+        )
         return self
 
     def __getstate__(self) -> tp.Dict[str, tp.Any]:
@@ -54,7 +58,9 @@ class BaseAnnRecommender:
 
     def _require_engine(self) -> TopKEngine:
         if self._engine is None:
-            self._engine = TopKEngine(self.item_vectors, distance=self.distance)
+            self._engine = TopKEngine(
+                self.item_vectors, distance=self.distance, approximate=getattr(self, "approximate", False)
+            )
         return self._engine
 
     def _compute_sorted_similar(self, input_vectors: np.ndarray, top_n: int) -> np.ndarray:
@@ -105,8 +111,9 @@ class UserToItemAnnRecommender(BaseAnnRecommender):
         item_id_map: tp.Union[IdMap, tp.Dict[ExternalId, InternalId]],
         index_top_k: int = 0,
         distance: Distance = Distance.COSINE,
+        approximate: bool = False,
     ) -> None:
-        super().__init__(item_vectors, item_id_map, index_top_k, distance)
+        super().__init__(item_vectors, item_id_map, index_top_k, distance, approximate)
         self.user_vectors = np.asarray(user_vectors, dtype=np.float32)
         if isinstance(user_id_map, dict):
             self.user_id_map = IdMap.from_dict(user_id_map)

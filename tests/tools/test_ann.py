@@ -71,3 +71,37 @@ class TestItemToItemAnnRecommender:
         got = rec.get_item_list_for_item_batch(["i0", "i1"], top_n=3)
         assert len(got) == 2
         assert all(len(g) == 3 for g in got)
+
+
+class TestApproximateMode:
+    """approximate=True routes ranking through jax.lax.approx_max_k — the
+    TPU-native analogue of the reference's HNSW approximate search
+    (nmslib, reference tools/ann.py:99). On CPU the op is exact."""
+
+    def test_high_recall_vs_exact(self) -> None:
+        rng = np.random.default_rng(0)
+        items = rng.normal(size=(2000, 32)).astype(np.float32)
+        users = rng.normal(size=(20, 32)).astype(np.float32)
+        umap = IdMap.from_values(np.arange(20))
+        imap = IdMap.from_values(np.arange(2000))
+        exact = UserToItemAnnRecommender(users, items, umap, imap).fit()
+        approx = UserToItemAnnRecommender(users, items, umap, imap, approximate=True).fit()
+        overlaps = []
+        for u in range(20):
+            ex = set(exact.get_item_list_for_user(u, top_n=20))
+            ap = set(approx.get_item_list_for_user(u, top_n=20))
+            overlaps.append(len(ex & ap) / 20)
+        assert np.mean(overlaps) >= 0.9
+
+    def test_pickle_keeps_flag(self) -> None:
+        import pickle
+
+        rng = np.random.default_rng(0)
+        items = rng.normal(size=(300, 8)).astype(np.float32)
+        imap = IdMap.from_values(np.arange(300))
+        rec = ItemToItemAnnRecommender(items, imap, approximate=True).fit()
+        restored = pickle.loads(pickle.dumps(rec))
+        assert restored.approximate is True
+        assert list(restored.get_item_list_for_item(0, top_n=5)) == list(
+            rec.get_item_list_for_item(0, top_n=5)
+        )
