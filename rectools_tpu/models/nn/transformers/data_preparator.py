@@ -410,8 +410,13 @@ class TransformerDataPreparatorBase:
 
     # --------------------------------------------------------- collate helpers
 
+    # Training modules that draw uniform negatives on device (see
+    # training.py `negatives_on_device`) flip this off so batches skip the
+    # (B, L, n_negatives) host array entirely.
+    host_negatives: bool = True
+
     def _sample_negatives(self, batch: Batch, rng: tp.Optional[np.random.Generator], session_len_limit: tp.Optional[int] = None) -> None:
-        if self.negative_sampler is not None:
+        if self.negative_sampler is not None and self.host_negatives:
             if rng is None:  # pragma: no cover
                 raise ValueError("negative sampling requires rng")
             batch["negatives"] = self.negative_sampler.get_negatives(

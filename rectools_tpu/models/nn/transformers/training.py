@@ -95,9 +95,15 @@ class TransformerTrainingModuleBase:
         seed: int = 0,
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
         compute_dtype: str = "float32",
+        negatives_on_device: bool = True,
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
+        # Draw uniform negatives inside the jit step (device PRNG) instead of
+        # shipping a (B, L, n_negatives) host array every step — at production
+        # shapes that array is tens of MB per step of pure H2D traffic.
+        # Applies only to CatalogUniformSampler; custom samplers stay on host.
+        self.negatives_on_device = negatives_on_device
         self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
         self._mesh = None
         # "bfloat16" runs the forward/backward matmuls in the MXU's native
@@ -174,7 +180,33 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
     def _calc_custom_loss(self, logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(f"loss {self.loss} is not supported")
 
-    def _batch_logits(self, params: Params, batch: tp.Dict[str, jnp.ndarray], dropout_rng: tp.Optional[jax.Array]) -> jnp.ndarray:
+    @property
+    def _use_device_negatives(self) -> bool:
+        from .negative_sampler import CatalogUniformSampler
+
+        return (
+            self._requires_negatives
+            and self.negatives_on_device
+            and type(self.data_preparator.negative_sampler) is CatalogUniformSampler
+        )
+
+    def _draw_device_negatives(self, batch: tp.Dict[str, jnp.ndarray], neg_rng: jax.Array) -> jnp.ndarray:
+        """Uniform negatives drawn on device — same [n_extra_tokens, n_items)
+        range as CatalogUniformSampler (negative_sampler.py), device PRNG
+        stream instead of host numpy."""
+        n_negatives = self.data_preparator.n_negatives
+        lowest = len(self.item_extra_tokens)
+        highest = self.backbone.item_model.n_items
+        b, length = batch["y"].shape
+        return jax.random.randint(neg_rng, (b, length, n_negatives), lowest, highest)
+
+    def _batch_logits(
+        self,
+        params: Params,
+        batch: tp.Dict[str, jnp.ndarray],
+        dropout_rng: tp.Optional[jax.Array],
+        neg_rng: tp.Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
         """Forward pass -> logits / logits_t (reference lightning.py:301-309)."""
         deterministic = dropout_rng is None
         rngs = None if deterministic else {"dropout": dropout_rng}
@@ -185,7 +217,13 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
             )
         if self._requires_negatives:
-            y, negatives = batch["y"], batch["negatives"]
+            y = batch["y"]
+            if "negatives" in batch:
+                negatives = batch["negatives"]
+            else:
+                if neg_rng is None:
+                    raise ValueError("neg_rng required when negatives are sampled on device")
+                negatives = self._draw_device_negatives(batch, neg_rng)
             pos_neg = jnp.concatenate([y[..., None], negatives], axis=-1)
             logits = self.backbone.apply(
                 {"params": params}, batch, candidate_item_ids=pos_neg, deterministic=deterministic, rngs=rngs
@@ -202,8 +240,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
     def _train_step(
         self, params: Params, opt_state: tp.Any, batch: tp.Dict[str, jnp.ndarray], dropout_rng: jax.Array
     ) -> tp.Tuple[Params, tp.Any, jnp.ndarray]:
+        dropout_rng, neg_rng = jax.random.split(dropout_rng)
+
         def loss_of(p: Params) -> jnp.ndarray:
-            logits = self._batch_logits(p, batch, dropout_rng)
+            logits = self._batch_logits(p, batch, dropout_rng, neg_rng=neg_rng)
             return self._loss_fn(logits, batch["y"], batch["yw"])
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -212,8 +252,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         return params, opt_state, loss
 
     @partial(jax.jit, static_argnums=(0,))
-    def _val_step(self, params: Params, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        logits = self._batch_logits(params, batch, None)[:, -1:, :]
+    def _val_step(
+        self, params: Params, batch: tp.Dict[str, jnp.ndarray], neg_rng: tp.Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        logits = self._batch_logits(params, batch, None, neg_rng=neg_rng)[:, -1:, :]
         return self._loss_fn(logits, batch["y"], batch["yw"])
 
     @partial(jax.jit, static_argnums=(0,))
@@ -297,8 +339,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         init_rng, xavier_rng = jax.random.split(jax.random.PRNGKey(self.seed))
         device_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         candidate = None
-        if self._requires_negatives and "negatives" in sample_batch:
-            candidate = jnp.concatenate([device_batch["y"][..., None], device_batch["negatives"]], axis=-1)
+        if self._requires_negatives:
+            if "negatives" in sample_batch:
+                candidate = jnp.concatenate([device_batch["y"][..., None], device_batch["negatives"]], axis=-1)
+            else:  # device-sampled negatives: shape-equivalent dummy candidates
+                candidate = self._draw_device_negatives(device_batch, jax.random.PRNGKey(0))
+                candidate = jnp.concatenate([device_batch["y"][..., None], candidate], axis=-1)
         variables = self.backbone.init(
             {"params": init_rng}, device_batch, candidate_item_ids=candidate, deterministic=True
         )
@@ -319,6 +365,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         """Epoch loop. Loaders come from factories so each fit/fit_partial call
         re-derives its host rng stream from the module seed and epoch counter
         (deterministic refits)."""
+        self.data_preparator.host_negatives = not self._use_device_negatives
         host_rng = np.random.default_rng(np.random.SeedSequence(entropy=(self.seed, self.epochs_completed)))
         train_loader = train_loader_factory(host_rng)
         val_loader = val_loader_factory(host_rng)
@@ -328,6 +375,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             self.init_params(pad_batch(first_batch, train_loader.batch_size))
 
         dropout_key = jax.random.PRNGKey(self.seed + 1)
+        val_neg_key = jax.random.PRNGKey(self.seed + 3)
 
         for _ in range(max_epochs):
             epoch_losses = []
@@ -344,10 +392,15 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 self.train_loss_history.append(float(jnp.mean(jnp.stack(epoch_losses))))
             if val_loader is not None:
                 val_losses = []
-                for batch in val_loader:
+                for vi, batch in enumerate(val_loader):
                     batch = pad_batch(batch, val_loader.batch_size)
                     device_batch = self._device_batch(batch)
-                    val_losses.append(self._val_step(self.params, device_batch))
+                    neg_rng = (
+                        jax.random.fold_in(val_neg_key, vi)
+                        if self._requires_negatives and "negatives" not in batch
+                        else None
+                    )
+                    val_losses.append(self._val_step(self.params, device_batch, neg_rng))
                 if val_losses:
                     self.val_loss_history.append(float(jnp.mean(jnp.stack(val_losses))))
             self.epochs_completed += 1

@@ -209,3 +209,34 @@ def _param_names(tree, prefix="") -> list:
         else:
             names.append(path)
     return names
+
+
+class TestDeviceNegatives:
+    """Sampled losses draw uniform negatives inside the jit step by default
+    (training.py negatives_on_device); host sampling remains for custom
+    samplers or when explicitly disabled."""
+
+    def test_default_skips_host_negatives(self) -> None:
+        model = SASRecModel(loss="sampled_softmax", n_negatives=4, **TINY).fit(DATASET)
+        assert model.training_module._use_device_negatives
+        assert model.data_preparator.host_negatives is False
+        reco = model.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        assert np.isfinite(reco[Columns.Score].values).all()
+
+    def test_disable_restores_host_sampling(self) -> None:
+        model = SASRecModel(
+            loss="sampled_softmax", n_negatives=4,
+            training_module_kwargs={"negatives_on_device": False}, **TINY,
+        ).fit(DATASET)
+        assert not model.training_module._use_device_negatives
+        assert model.data_preparator.host_negatives is True
+        reco = model.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        assert np.isfinite(reco[Columns.Score].values).all()
+
+    def test_both_modes_deterministic_per_seed(self) -> None:
+        for kwargs in ({}, {"training_module_kwargs": {"negatives_on_device": False}}):
+            m1 = SASRecModel(loss="sampled_softmax", n_negatives=4, **TINY, **kwargs).fit(DATASET)
+            m2 = SASRecModel(loss="sampled_softmax", n_negatives=4, **TINY, **kwargs).fit(DATASET)
+            r1 = m1.recommend([10], DATASET, k=3, filter_viewed=False)
+            r2 = m2.recommend([10], DATASET, k=3, filter_viewed=False)
+            np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, atol=1e-6)
