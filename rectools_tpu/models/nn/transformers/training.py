@@ -416,15 +416,17 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
 
     def _get_user_item_embeddings(self, recommend_loader: BatchLoader) -> tp.Tuple[np.ndarray, np.ndarray]:
         """Materialize user (last-position) and item tower outputs
-        (reference lightning.py:378-400)."""
-        user_embs: tp.List[np.ndarray] = []
+        (reference lightning.py:378-400). Dispatch-all-then-materialize so
+        batch round trips overlap (same pattern as ops/topk.py serving)."""
+        pending: tp.List[tp.Tuple[int, jnp.ndarray]] = []
         for batch in recommend_loader:
             n = batch["x"].shape[0]
             batch = pad_batch(batch, recommend_loader.batch_size)
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}  # recommend stays single-device
-            embs = self._encode_last(self.params, device_batch)
-            user_embs.append(np.asarray(embs[:n]))
-        item_embs = np.asarray(self._catalog_item_tower(self.params))
+            pending.append((n, self._encode_last(self.params, device_batch)))
+        item_handle = self._catalog_item_tower(self.params)
+        user_embs = [np.asarray(embs[:n]) for n, embs in pending]
+        item_embs = np.asarray(item_handle)
         return np.concatenate(user_embs, axis=0), item_embs
 
     def recommend_u2i(
