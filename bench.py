@@ -18,7 +18,8 @@ import time
 import numpy as np
 
 B, L, D, N_ITEMS, HEADS, BLOCKS = 128, 100, 64, 3708, 4, 2
-WARMUP_STEPS, BENCH_STEPS = 3, 20
+WARMUP_STEPS, BENCH_STEPS = 3, 100
+TORCH_BENCH_STEPS = 20
 
 
 def bench_jax() -> float:
@@ -41,23 +42,35 @@ def bench_jax() -> float:
     tx = optax.adam(1e-3, b1=0.9, b2=0.98)
     opt_state = tx.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch):
+    def step(carry, _):
+        params, opt_state = carry
+
         def loss_of(p):
             logits = backbone.apply({"params": p}, batch, deterministic=True)
             return softmax_loss(logits, batch["y"], batch["yw"])
 
         loss, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return (optax.apply_updates(params, updates), opt_state2), loss
 
-    for _ in range(WARMUP_STEPS):
-        params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    # One dispatch runs BENCH_STEPS optimizer steps on device (lax.scan) and
+    # the timing closes with a HOST FETCH of the final loss: on remote-device
+    # transports `block_until_ready` can acknowledge before execution
+    # finishes, so only a value round trip is trustworthy. BENCH_STEPS is
+    # large enough that the single link round trip is noise.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=BENCH_STEPS
+        )
+        return params, opt_state, losses[-1]
+
+    for _ in range(WARMUP_STEPS):  # compile + let clocks settle
+        params, opt_state, loss = multi_step(params, opt_state)
+    float(loss)
     t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
-        params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    params, opt_state, loss = multi_step(params, opt_state)
+    float(loss)  # sync point: value materialized on host
     dt = time.perf_counter() - t0
     return B * BENCH_STEPS / dt
 
@@ -116,7 +129,7 @@ def bench_torch_cpu(max_seconds: float = 60.0) -> float:
 
     step()  # warmup
     n, t0 = 0, time.perf_counter()
-    while n < BENCH_STEPS and time.perf_counter() - t0 < max_seconds:
+    while n < TORCH_BENCH_STEPS and time.perf_counter() - t0 < max_seconds:
         step()
         n += 1
     dt = time.perf_counter() - t0
