@@ -29,7 +29,7 @@ def bench_jax() -> float:
     from functools import partial
 
     from __graft_entry__ import _build_flagship
-    from rectools_tpu.models.nn.transformers.losses import softmax_loss
+    from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
 
     backbone = _build_flagship(n_items=N_ITEMS, session_max_len=L, n_factors=D, n_heads=HEADS, n_blocks=BLOCKS)
     rng = np.random.default_rng(0)
@@ -42,12 +42,19 @@ def bench_jax() -> float:
     tx = optax.adam(1e-3, b1=0.9, b2=0.98)
     opt_state = tx.init(params)
 
+    def towers(module, batch):
+        item_embs = module.item_model.embed_catalog(deterministic=True)
+        session_embs = module.encode_sessions(batch, item_embs, deterministic=True)
+        return session_embs, item_embs
+
     def step(carry, _):
         params, opt_state = carry
 
         def loss_of(p):
-            logits = backbone.apply({"params": p}, batch, deterministic=True)
-            return softmax_loss(logits, batch["y"], batch["yw"])
+            # the framework's default softmax path: chunked logsumexp over the
+            # catalog, logits never materialized (training.py fused_softmax_chunk)
+            s_t, i_t = backbone.apply({"params": p}, batch, method=towers)
+            return fused_softmax_loss(s_t, i_t, batch["y"], batch["yw"], chunk=2048)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)

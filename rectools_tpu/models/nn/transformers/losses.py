@@ -69,6 +69,60 @@ def sampled_softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) ->
     return softmax_loss(swapped, target, w)
 
 
+def fused_softmax_loss(
+    session_towers: jnp.ndarray,  # (B, L, D)
+    item_towers: jnp.ndarray,  # (N, D)
+    y: jnp.ndarray,  # (B, L)
+    w: jnp.ndarray,  # (B, L)
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """`softmax_loss` without materializing the (B, L, N) logits tensor.
+
+    The full-catalog CE step is HBM-bound on the logits (several full passes
+    forward + backward). Here the logsumexp streams over item chunks with a
+    running (max, sumexp) carry; `jax.checkpoint` on the chunk body makes the
+    backward recompute each chunk's partial logits instead of storing them,
+    so peak memory is O(B*L*chunk) and HBM traffic drops accordingly.
+    Identical value and gradients to `softmax_loss` on the dot-product
+    logits of the towers (same pad-ignore and weighting semantics).
+    """
+    b, length, d = session_towers.shape
+    n = item_towers.shape[0]
+    s2 = session_towers.reshape(b * length, d)
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    emb = jnp.pad(item_towers, ((0, n_pad - n), (0, 0)))
+    # padded fake items must not contribute to the logsumexp
+    col_mask = jnp.where(jnp.arange(n_pad) < n, 0.0, -1e30).astype(jnp.float32)
+    emb_chunks = emb.reshape(n_chunks, chunk, d)
+    mask_chunks = col_mask.reshape(n_chunks, chunk)
+
+    def body(carry: tp.Tuple[jnp.ndarray, jnp.ndarray], inp: tp.Tuple[jnp.ndarray, jnp.ndarray]):
+        m, s = carry
+        emb_c, mask_c = inp
+        part = (
+            jnp.einsum("pd,cd->pc", s2, emb_c, preferred_element_type=jnp.float32)
+            + mask_c[None, :]
+        )
+        m_new = jnp.maximum(m, part.max(axis=-1))
+        s = s * jnp.exp(m - m_new) + jnp.exp(part - m_new[:, None]).sum(axis=-1)
+        return (m_new, s), None
+
+    # finite "minus infinity" keeps backward free of inf-arithmetic NaNs
+    init = (jnp.full((b * length,), -1e30, jnp.float32), jnp.zeros((b * length,), jnp.float32))
+    (m, s), _ = jax.lax.scan(jax.checkpoint(body), init, (emb_chunks, mask_chunks))
+    lse = (m + jnp.log(s)).reshape(b, length)
+
+    logit_y = jnp.einsum(
+        "bld,bld->bl", session_towers, item_towers[y], preferred_element_type=jnp.float32
+    )
+    ce = lse - logit_y
+    ce = jnp.where(y == 0, 0.0, ce)
+    loss = ce * w
+    n_contrib = (loss > 0).astype(loss.dtype)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(n_contrib), 1.0)
+
+
 def requires_negatives(loss: str) -> tp.Optional[bool]:
     """Whether the loss trains on sampled negatives (reference lightning.py:115-124)."""
     if loss == "softmax":

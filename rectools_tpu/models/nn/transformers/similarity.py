@@ -37,6 +37,14 @@ class SimilarityModuleBase(nn.Module):
         """Forward pass for item tower."""
         return item_embs
 
+    def catalog_loss_towers(
+        self, session_embs: jnp.ndarray, item_embs: jnp.ndarray
+    ) -> tp.Optional[tp.Tuple[jnp.ndarray, jnp.ndarray]]:
+        """(s, i) such that ``einsum('bld,nd->bln', s, i)`` equals
+        `_get_full_catalog_logits`, or None when the module's logits are not a
+        plain dot product (disables the fused chunked softmax loss)."""
+        return None
+
     def __call__(
         self,
         session_embs: jnp.ndarray,
@@ -88,6 +96,13 @@ class DistanceSimilarityModule(SimilarityModuleBase):
         norm_sq = jnp.sum(embeddings * embeddings, axis=-1, keepdims=True)
         norm = jnp.sqrt(jnp.maximum(norm_sq, EPSILON_COSINE_DIST**2))
         return embeddings / norm
+
+    def catalog_loss_towers(
+        self, session_embs: jnp.ndarray, item_embs: jnp.ndarray
+    ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+        if self._dist() == Distance.COSINE:
+            return self._normalize(session_embs), self._normalize(item_embs)
+        return session_embs, item_embs
 
     def __call__(
         self,

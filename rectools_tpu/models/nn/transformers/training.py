@@ -25,7 +25,14 @@ from ....parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 from ....types import ExternalIds
 from .backbone import TransformerBackboneBase
 from .data_preparator import Batch, BatchLoader, TransformerDataPreparatorBase
-from .losses import bce_loss, gbce_loss, requires_negatives, sampled_softmax_loss, softmax_loss
+from .losses import (
+    bce_loss,
+    fused_softmax_loss,
+    gbce_loss,
+    requires_negatives,
+    sampled_softmax_loss,
+    softmax_loss,
+)
 
 Params = tp.Any
 
@@ -96,9 +103,19 @@ class TransformerTrainingModuleBase:
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
         compute_dtype: str = "float32",
         negatives_on_device: bool = True,
+        fused_softmax_chunk: tp.Optional[int] = 2048,
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
+        # The full-catalog "softmax" loss streams the catalog in
+        # `fused_softmax_chunk`-wide item chunks with a running logsumexp
+        # instead of materializing the (B, L, n_items) logits tensor
+        # (losses.fused_softmax_loss) — the logits are the HBM-bound part of
+        # the step (measured 1.4x faster at 3.7k items; the win grows with
+        # catalog size). Applies to similarity modules whose logits are a
+        # plain dot of towers and catalogs larger than one chunk; None
+        # disables.
+        self.fused_softmax_chunk = fused_softmax_chunk
         # Draw uniform negatives inside the jit step (device PRNG) instead of
         # shipping a (B, L, n_negatives) host array every step — at production
         # shapes that array is tens of MB per step of pure H2D traffic.
@@ -181,6 +198,40 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         raise ValueError(f"loss {self.loss} is not supported")
 
     @property
+    def _use_fused_softmax(self) -> bool:
+        from .similarity import SimilarityModuleBase
+
+        sim = self.backbone.similarity_module
+        return (
+            self.loss == "softmax"
+            and self.fused_softmax_chunk is not None
+            # single-chunk catalogs get no streaming benefit, only scan overhead
+            and self.backbone.item_model.n_items > self.fused_softmax_chunk
+            and type(sim).catalog_loss_towers is not SimilarityModuleBase.catalog_loss_towers
+        )
+
+    def _fused_softmax_loss_value(
+        self, params: Params, batch: tp.Dict[str, jnp.ndarray], dropout_rng: tp.Optional[jax.Array]
+    ) -> jnp.ndarray:
+        deterministic = dropout_rng is None
+        rngs = None if deterministic else {"dropout": dropout_rng}
+        if self.compute_dtype == "bfloat16":
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
+            )
+
+        def towers(module: tp.Any, batch: tp.Dict[str, jnp.ndarray]) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+            item_embs = module.item_model.embed_catalog(deterministic=deterministic)
+            session_embs = module.encode_sessions(batch, item_embs, deterministic=deterministic)
+            return module.similarity_module.catalog_loss_towers(session_embs, item_embs)
+
+        s_t, i_t = self.backbone.apply({"params": params}, batch, method=towers, rngs=rngs)
+        s_t = s_t.astype(jnp.float32) / self.logits_t
+        return fused_softmax_loss(
+            s_t, i_t.astype(jnp.float32), batch["y"], batch["yw"], chunk=self.fused_softmax_chunk
+        )
+
+    @property
     def _use_device_negatives(self) -> bool:
         from .negative_sampler import CatalogUniformSampler
 
@@ -243,6 +294,8 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         dropout_rng, neg_rng = jax.random.split(dropout_rng)
 
         def loss_of(p: Params) -> jnp.ndarray:
+            if self._use_fused_softmax:
+                return self._fused_softmax_loss_value(p, batch, dropout_rng)
             logits = self._batch_logits(p, batch, dropout_rng, neg_rng=neg_rng)
             return self._loss_fn(logits, batch["y"], batch["yw"])
 

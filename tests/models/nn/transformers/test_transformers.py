@@ -295,3 +295,54 @@ class TestLeaveOneOutMask:
         for _, row in masked.iterrows():
             user_rows = INTERACTIONS[INTERACTIONS[Columns.User] == row[Columns.User]]
             assert row[Columns.Datetime] == user_rows[Columns.Datetime].max()
+
+
+class TestFusedSoftmaxLoss:
+    """Chunked logsumexp softmax (losses.fused_softmax_loss) must equal the
+    materialized-logits loss in value and gradients."""
+
+    def test_matches_full_logits_with_grads(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
+
+        rng = np.random.default_rng(0)
+        b, l, d, n = 4, 6, 8, 37
+        s = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+        items = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, n, size=(b, l)))
+        w = jnp.asarray((rng.random((b, l)) > 0.2).astype(np.float32))
+
+        def full(s, items):
+            return softmax_loss(jnp.einsum("bld,nd->bln", s, items), y, w)
+
+        def fused(s, items):
+            return fused_softmax_loss(s, items, y, w, chunk=16)
+
+        v1, g1 = jax.value_and_grad(full, argnums=(0, 1))(s, items)
+        v2, g2 = jax.value_and_grad(fused, argnums=(0, 1))(s, items)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("distance", ["dot", "cosine"])
+    def test_model_training_matches_default(self, distance) -> None:
+        kwargs = dict(similarity_module_kwargs={"distance": distance}) if distance == "cosine" else {}
+        m1 = SASRecModel(
+            loss="softmax", training_module_kwargs={"fused_softmax_chunk": None}, **kwargs, **TINY
+        ).fit(DATASET)
+        m2 = SASRecModel(
+            loss="softmax", training_module_kwargs={"fused_softmax_chunk": 4}, **kwargs, **TINY
+        ).fit(DATASET)
+        assert m2.training_module._use_fused_softmax
+        r1 = m1.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        r2 = m2.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        np.testing.assert_allclose(
+            r1[Columns.Score].values, r2[Columns.Score].values, rtol=1e-3, atol=1e-4
+        )
+
+    def test_single_chunk_catalog_falls_back(self) -> None:
+        # default chunk 2048 >> tiny catalog -> fused path disabled
+        model = SASRecModel(loss="softmax", **TINY).fit(DATASET)
+        assert not model.training_module._use_fused_softmax
