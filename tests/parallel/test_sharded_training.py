@@ -97,3 +97,39 @@ class TestShardedTraining:
         r1 = model.recommend([0, 1], dataset, k=3, filter_viewed=False)
         r2 = restored.recommend([0, 1], dataset, k=3, filter_viewed=False)
         np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, atol=1e-4)
+
+
+def test_sharded_training_with_fused_softmax() -> None:
+    """DP x TP mesh + the chunked logsumexp loss: XLA inserts the collectives
+    through the streamed-chunk einsums; results match single-device fused."""
+    import pandas as pd
+
+    from rectools_tpu import Columns
+    from rectools_tpu.dataset import Dataset
+    from rectools_tpu.models import SASRecModel
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            Columns.User: rng.integers(0, 40, 600),
+            Columns.Item: rng.integers(0, 30, 600),
+            Columns.Weight: 1.0,
+            Columns.Datetime: pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 60, 600), unit="D"),
+        }
+    )
+    ds = Dataset.construct(df)
+    tiny = dict(
+        n_blocks=1, n_heads=2, n_factors=8, session_max_len=6, epochs=1, batch_size=8, seed=32, dropout_rate=0.0
+    )
+    sharded = SASRecModel(
+        loss="softmax", training_module_kwargs={"mesh_shape": (4, 2), "fused_softmax_chunk": 8}, **tiny
+    ).fit(ds)
+    assert sharded.training_module._use_fused_softmax
+    single = SASRecModel(
+        loss="softmax", training_module_kwargs={"fused_softmax_chunk": 8}, **tiny
+    ).fit(ds)
+    users = ds.user_id_map.external_ids[:10]
+    r1 = sharded.recommend(users, ds, k=5, filter_viewed=False)
+    r2 = single.recommend(users, ds, k=5, filter_viewed=False)
+    np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, rtol=1e-3, atol=1e-4)
