@@ -9,8 +9,9 @@ Semantics preserved from the reference wrapper:
 - DOT u2i ranking with biases folded into padded vectors (vector.py:105-134);
 - warm AND cold targets supported: warm = feature-only representations,
   cold = item-bias ranking (lightfm.py:295-302);
-- losses logistic / bpr / warp (warp-kos approximated by warp, see
-  ops/hybrid_mf.py for the vectorized WARP formulation);
+- losses logistic / bpr / warp / warp-kos (k-th order statistic sampling
+  implemented in ops/hybrid_mf.py alongside the vectorized WARP
+  first-violator formulation);
 - `fit_partial(epochs)` resumes training.
 
 Compute is a jit-compiled minibatch step on device (ops/hybrid_mf.py) instead

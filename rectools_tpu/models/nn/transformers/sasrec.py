@@ -220,7 +220,7 @@ class SASRecModel(TransformerModelBase[SASRecModelConfig]):
         backbone_type: tp.Type[TransformerBackboneBase] = TransformerBackbone,
         get_val_mask_func: tp.Optional[ValMaskCallable] = None,
         get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None,
-        recommend_batch_size: int = 256,
+        recommend_batch_size: tp.Optional[int] = None,
         data_preparator_kwargs: tp.Optional[InitKwargs] = None,
         transformer_layers_kwargs: tp.Optional[InitKwargs] = None,
         item_net_constructor_kwargs: tp.Optional[InitKwargs] = None,

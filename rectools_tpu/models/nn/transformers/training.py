@@ -346,9 +346,11 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         return self._mesh
 
     def _shard_params(self, params: Params) -> Params:
-        """Place params on the mesh: item-vocabulary tables row-sharded over
-        the model axis, everything else replicated. Optimizer state created
-        from sharded params inherits the same layout."""
+        """Place params on the mesh: item-vocabulary tables sharded over the
+        model axis along the FEATURE (last) dimension — see the
+        `_MODEL_SHARDED_PARAM_NAMES` note at the top of this module — and
+        everything else replicated. Optimizer state created from sharded
+        params inherits the same layout."""
         mesh = self._get_mesh()
         if mesh is None:
             return params

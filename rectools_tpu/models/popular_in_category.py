@@ -1,9 +1,21 @@
-"""Per-category popularity model.
+"""Category-balanced popularity model.
 
-Behavioral parity with reference rectools/models/popular_in_category.py:34-440:
-one `PopularModel` per value of a categorical item feature; ratio strategies
-`proportional`/`equal` decide per-category quotas; mixing `rotate`/`group`
-orders the final list; fallback recs fill per-user deficits.
+Behavioral parity with reference rectools/models/popular_in_category.py
+(quota strategies ``proportional``/``equal``, mixing ``rotate``/``group``,
+fallback fill, cold targets served the fixed mixed list — see reference
+lines 240-332 for the pinned behavior), with a device-first execution plan
+instead of the reference's per-category pandas pipeline:
+
+* fit builds per-category popularity arrays with numpy segment ops
+  (bincount / unique), not per-category DataFrame copies;
+* ``recommend`` ranks ALL (user, category) pairs in ONE top-k engine call —
+  categories become columns of an (n_items, n_categories) order-value matrix
+  and subjects become one-hot CSR rows selecting a category, so the whole
+  per-category ranking (including seen-item filtering) is a single batched
+  MXU matmul + top-k on device;
+* quota assignment, deduplication, fallback fill and list mixing are
+  vectorized numpy over the flat result triplets (lexsort + segment
+  cumcounts), not groupby/concat chains.
 """
 
 import typing as tp
@@ -14,23 +26,25 @@ from enum import Enum
 import numpy as np
 import pandas as pd
 import typing_extensions as tpe
+from scipy import sparse
 
 from ..columns import Columns
-from ..dataset import Dataset, Interactions
+from ..dataset import Dataset
 from ..dataset import features
 from .base import FixedColdRecoModelMixin, ModelBase
-from .popular import PopularModel, PopularModelConfig, PopularModelMixin, PopularityOptions
+from .popular import PopularModelConfig, PopularModelMixin, Popularity, PopularityOptions
+from .rank import Distance, TPURanker
 
 
 class MixingStrategy(Enum):
-    """How category lists are interleaved."""
+    """How per-category lists are interleaved in the final ranking."""
 
     ROTATE = "rotate"
     GROUP = "group"
 
 
 class RatioStrategy(Enum):
-    """How per-category quotas are computed."""
+    """How the per-category quotas are derived from category scores."""
 
     EQUAL = "equal"
     PROPORTIONAL = "proportional"
@@ -45,8 +59,15 @@ class PopularInCategoryModelConfig(PopularModelConfig):
     ratio_strategy: RatioStrategy = RatioStrategy.PROPORTIONAL
 
 
+def _group_cumcount(new_group: np.ndarray) -> np.ndarray:
+    """Positions within consecutive groups: ``new_group`` marks group starts."""
+    idx = np.arange(len(new_group))
+    return idx - np.maximum.accumulate(np.where(new_group, idx, 0))
+
+
 class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBase[PopularInCategoryModelConfig]):
-    """Popularity recommendations balanced across item categories."""
+    """Popularity recommendations balanced across values of one categorical
+    item feature."""
 
     recommends_for_warm = False
     recommends_for_cold = True
@@ -74,28 +95,26 @@ class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBa
         self.add_cold = add_cold
         self.inverse = inverse
         self.category_feature = category_feature
-
-        try:
-            self.mixing_strategy = MixingStrategy(mixing_strategy)
-        except ValueError:
-            possible = {item.value for item in MixingStrategy.__members__.values()}
-            raise ValueError(f"`mixing_strategy` must be one of the {possible}. Got {mixing_strategy}.")
-        try:
-            self.ratio_strategy = RatioStrategy(ratio_strategy)
-        except ValueError:
-            possible = {item.value for item in RatioStrategy.__members__.values()}
-            raise ValueError(f"`ratio_strategy` must be one of the {possible}. Got {ratio_strategy}.")
-
-        self.category_columns: tp.List[int] = []
-        self.category_interactions: tp.Dict[int, pd.DataFrame] = {}
-        self.category_scores: pd.Series
-        self.models: tp.Dict[int, PopularModel] = {}
-        self.n_effective_categories: int
-
-        if n_categories is None or n_categories > 0:
-            self.n_categories = n_categories
-        else:
+        self.mixing_strategy = self._parse_enum(MixingStrategy, "mixing_strategy", mixing_strategy)
+        self.ratio_strategy = self._parse_enum(RatioStrategy, "ratio_strategy", ratio_strategy)
+        if n_categories is not None and n_categories <= 0:
             raise ValueError(f"`n_categories` must be a positive number. Got {n_categories}")
+        self.n_categories = n_categories
+
+        # fitted state: per category (priority order = category score desc)
+        self.category_columns: tp.List[int] = []  # feature-column numbers
+        self.category_scores: pd.Series = pd.Series(dtype=float)  # score per column
+        self.n_effective_categories: int = 0
+        self._cat_items: tp.List[np.ndarray] = []  # popularity-ordered item ids
+        self._cat_item_scores: tp.List[np.ndarray] = []  # aligned true scores
+
+    @staticmethod
+    def _parse_enum(enum_cls: tp.Type[Enum], arg_name: str, raw: tp.Any) -> tp.Any:
+        try:
+            return enum_cls(raw)
+        except ValueError:
+            options = sorted(member.value for member in enum_cls)
+            raise ValueError(f"`{arg_name}` must be one of {options}. Got {raw}.")
 
     def _get_config(self) -> PopularInCategoryModelConfig:
         return PopularInCategoryModelConfig(
@@ -129,7 +148,9 @@ class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBa
 
     # ---------------------------------------------------------------------- fit
 
-    def _check_category_feature(self, dataset: Dataset) -> None:
+    def _category_feature_columns(self, dataset: Dataset) -> tp.List[int]:
+        """Columns of the sparse item-feature matrix that one-hot-encode the
+        requested categorical feature."""
         if not dataset.item_features:
             raise ValueError(
                 "Dataset must have `item_features` for PopularInCategoryModel. "
@@ -137,127 +158,215 @@ class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBa
             )
         if not isinstance(dataset.item_features, features.SparseFeatures):
             raise TypeError("Only sparse features are supported for PopularInCategoryModel. ")
-        for num_col, (name, value) in enumerate(dataset.item_features.names):
-            if name == self.category_feature and value != features.DIRECT_FEATURE_VALUE:
-                self.category_columns.append(num_col)
-        if not self.category_columns:
+        columns = [
+            col
+            for col, (name, value) in enumerate(dataset.item_features.names)
+            if name == self.category_feature and value != features.DIRECT_FEATURE_VALUE
+        ]
+        if not columns:
             raise ValueError("`category_feature` must be present in `cat_item_features` when creating Dataset")
+        return columns
 
-    def _calc_category_scores(self, dataset: Dataset, interactions: pd.DataFrame) -> None:
-        scores_dict = {}
-        empty_columns = []
-        for column_num in self.category_columns:
-            item_idx = dataset.item_features.values.getcol(column_num).nonzero()[0]
-            category_interactions = interactions[interactions[Columns.Item].isin(item_idx)]
-            if category_interactions.shape[0] == 0:
-                empty_columns.append(column_num)
-            else:
-                self.category_interactions[column_num] = category_interactions.copy()
-                col, func = self._get_groupby_col_and_agg_func(self.popularity)
-                scores_dict[column_num] = self.category_interactions[column_num][col].agg(func)
-        self.category_columns = [col for col in self.category_columns if col not in empty_columns]
-        self.category_scores = pd.Series(scores_dict).sort_values(ascending=False)
+    def _category_agg_score(self, users: np.ndarray, weights: np.ndarray) -> float:
+        """One scalar per category — drives priority order and quotas."""
+        if self.popularity == Popularity.N_USERS:
+            return float(len(np.unique(users)))
+        if self.popularity == Popularity.N_INTERACTIONS:
+            return float(len(users))
+        if self.popularity == Popularity.MEAN_WEIGHT:
+            return float(weights.mean())
+        return float(weights.sum())
 
-    def _define_categories_for_analysis(self) -> None:
-        if self.n_categories:
-            if len(self.category_columns) >= self.n_categories:
-                self.n_effective_categories = self.n_categories
-                relevant_categories = self.category_scores.head(self.n_categories).index
-                self.category_scores = self.category_scores.loc[relevant_categories]
-                self.category_columns = relevant_categories.to_list()
-            else:
-                self.n_effective_categories = len(self.category_columns)
-                warnings.warn(
-                    "`n_categories` exceeds number of unique category values. "
-                    f"Only {self.n_effective_categories} categories will be analysed"
-                )
-        else:
-            self.n_effective_categories = len(self.category_columns)
+    def _item_popularity_scores(
+        self, items: np.ndarray, users: np.ndarray, weights: np.ndarray, n_items: int, n_users: int
+    ) -> np.ndarray:
+        """Dense per-item popularity over one category's interactions
+        (items without interactions get score 0)."""
+        if self.popularity == Popularity.N_USERS:
+            pair_keys = np.unique(items.astype(np.int64) * n_users + users.astype(np.int64))
+            return np.bincount((pair_keys // n_users).astype(np.int64), minlength=n_items).astype(np.float64)
+        if self.popularity == Popularity.N_INTERACTIONS:
+            return np.bincount(items, minlength=n_items).astype(np.float64)
+        sums = np.bincount(items, weights=weights, minlength=n_items)
+        if self.popularity == Popularity.SUM_WEIGHT:
+            return sums
+        counts = np.bincount(items, minlength=n_items)
+        return np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
 
     def _fit(self, dataset: Dataset) -> None:
-        self.category_columns = []
-        self.category_interactions = {}
-        self.models = {}
-        self.category_scores = pd.Series(dtype=float)
-        self.n_effective_categories = 0
+        candidate_columns = self._category_feature_columns(dataset)
 
-        self._check_category_feature(dataset)
-        interactions = self._filter_interactions(dataset.interactions.df, self.period, self.begin_from)
-        self._calc_category_scores(dataset, interactions)
-        self._define_categories_for_analysis()
+        df = self._filter_interactions(dataset.interactions.df, self.period, self.begin_from)
+        item_arr = df[Columns.Item].to_numpy()
+        user_arr = df[Columns.User].to_numpy()
+        weight_arr = df[Columns.Weight].to_numpy()
+        n_items = dataset.item_id_map.size
+        n_users = dataset.user_id_map.size
 
-        for column_num in self.category_columns:
-            category_model = PopularModel(
-                popularity=self.popularity.value, add_cold=self.add_cold, inverse=self.inverse
+        # per-category member items from the one-hot feature columns
+        csc = dataset.item_features.values.tocsc()
+        kept_columns: tp.List[int] = []
+        agg_scores: tp.List[float] = []
+        masks: tp.List[np.ndarray] = []
+        for col in candidate_columns:
+            lo, hi = csc.indptr[col], csc.indptr[col + 1]
+            member_items = csc.indices[lo:hi][csc.data[lo:hi] != 0]
+            mask = np.isin(item_arr, member_items)
+            if not mask.any():
+                continue  # categories without interactions in the window are dropped
+            kept_columns.append(col)
+            agg_scores.append(self._category_agg_score(user_arr[mask], weight_arr[mask]))
+            masks.append(mask)
+
+        # priority order: category score descending, ties by column order
+        priority = np.argsort(-np.asarray(agg_scores), kind="stable") if kept_columns else np.array([], dtype=int)
+        if self.n_categories is not None:
+            if len(kept_columns) < self.n_categories:
+                warnings.warn(
+                    "`n_categories` exceeds number of unique category values. "
+                    f"Only {len(kept_columns)} categories will be analysed"
+                )
+            priority = priority[: self.n_categories]
+
+        self.category_columns = [kept_columns[p] for p in priority]
+        self.category_scores = pd.Series(
+            [agg_scores[p] for p in priority], index=self.category_columns, dtype=float
+        )
+        self.n_effective_categories = len(self.category_columns)
+
+        self._cat_items = []
+        self._cat_item_scores = []
+        for p in priority:
+            mask = masks[p]
+            dense_scores = self._item_popularity_scores(
+                item_arr[mask], user_arr[mask], weight_arr[mask], n_items, n_users
             )
-            category_dataset = Dataset(
-                user_id_map=dataset.user_id_map,
-                item_id_map=dataset.item_id_map,
-                interactions=Interactions(self.category_interactions[column_num]),
-            )
-            category_model.fit(category_dataset)
-            self.models[column_num] = category_model
+            active = np.flatnonzero(np.bincount(item_arr[mask], minlength=n_items))
+            order = np.argsort(-dense_scores[active], kind="stable")
+            cat_items = active[order]
+            cat_scores = dense_scores[cat_items]
+            if self.add_cold:
+                # reference parity: a per-category popularity model with
+                # add_cold appends every id-map item absent from the
+                # category's interactions, score 0 (popular.py add_cold)
+                cold = np.setdiff1d(np.arange(n_items), cat_items)
+                cat_items = np.concatenate([cat_items, cold])
+                cat_scores = np.concatenate([cat_scores, np.zeros(cold.size)])
+            if self.inverse:
+                cat_items = cat_items[::-1]
+                cat_scores = cat_scores[::-1]
+            self._cat_items.append(cat_items)
+            self._cat_item_scores.append(cat_scores)
 
     # ------------------------------------------------------------------ quotas
 
-    def _get_num_recs_for_each_category(self, k: int) -> pd.Series:
+    def _quotas(self, k: int) -> np.ndarray:
+        """Per-category rec quotas in priority order; sums to min(k-ish) with
+        the reference's remainder and zero-fix rules."""
+        n_cat = self.n_effective_categories
         if self.ratio_strategy == RatioStrategy.PROPORTIONAL:
-            sum_scores = self.category_scores.sum()
-            num_recs = np.floor(k * self.category_scores / sum_scores).astype("int32")
-            exceeding_recs = k - num_recs.sum()
-            num_recs.iloc[:exceeding_recs] += 1
-            # give at least one rec to zero-quota categories at the expense of
-            # categories with more than one
-            zero_mask = num_recs == 0
-            may_decrease_mask = num_recs > 1
-            num_changing_zeros = min(zero_mask.sum(), may_decrease_mask.sum())
-            if num_changing_zeros > 0:
-                indexes_to_increase = np.arange(len(num_recs))[zero_mask][:num_changing_zeros]
-                indexes_to_decrease = np.arange(len(num_recs))[may_decrease_mask][-num_changing_zeros:]
-                num_recs.iloc[indexes_to_increase] = 1
-                num_recs.iloc[indexes_to_decrease] -= 1
-        else:  # EQUAL
-            num_recs = pd.Series({num_col: k // self.n_effective_categories for num_col in self.category_scores.index})
-            exceeding_recs = k - num_recs.sum()
-            num_recs.iloc[:exceeding_recs] += 1
-        return num_recs
+            scores = self.category_scores.to_numpy()
+            quotas = np.floor(k * scores / scores.sum()).astype(np.int64)
+            quotas[: k - quotas.sum()] += 1
+            # every category deserves at least one slot, funded by the
+            # lowest-priority categories that can spare one
+            zero_pos = np.flatnonzero(quotas == 0)
+            donor_pos = np.flatnonzero(quotas > 1)
+            n_fix = min(len(zero_pos), len(donor_pos))
+            if n_fix > 0:
+                quotas[zero_pos[:n_fix]] = 1
+                quotas[donor_pos[-n_fix:]] -= 1
+        else:
+            quotas = np.full(n_cat, k // n_cat, dtype=np.int64)
+            quotas[: k - quotas.sum()] += 1
+        return quotas
+
+    # --------------------------------------------------------------- selection
+
+    def _whitelisted_lists(
+        self, sorted_item_ids_to_recommend: tp.Optional[np.ndarray]
+    ) -> tp.Tuple[tp.List[np.ndarray], tp.List[np.ndarray]]:
+        if sorted_item_ids_to_recommend is None:
+            return self._cat_items, self._cat_item_scores
+        items_out, scores_out = [], []
+        for cat_items, cat_scores in zip(self._cat_items, self._cat_item_scores):
+            keep = np.isin(cat_items, sorted_item_ids_to_recommend)
+            items_out.append(cat_items[keep])
+            scores_out.append(cat_scores[keep])
+        return items_out, scores_out
+
+    def _mix_and_fill(
+        self,
+        u_pos: np.ndarray,  # user positions 0..n_subjects-1
+        items: np.ndarray,
+        scores: np.ndarray,
+        cat: np.ndarray,  # category priority index per row
+        cat_rank: np.ndarray,  # 0-based rank within (user, category)
+        n_subjects: int,
+        k: int,
+    ) -> np.ndarray:
+        """Quota split, dedup, fallback fill and final mixing over flat rows.
+
+        Returns row indices in final per-user rank order. Selection rules
+        mirror the reference recommend pipeline (popular_in_category.py
+        main/fallback merge): a row is "main" when its within-category rank
+        fits the category quota; duplicated (user, item) pairs keep the
+        occurrence with (main wins, then lowest category priority); users
+        whose deduped main rows cover k keep exactly those, everyone else is
+        topped up from fallback rows ordered by (main first, category rank,
+        priority); final order is per-user (priority, rank) for ``group``
+        mixing or a round-robin across categories for ``rotate``.
+        """
+        quotas = self._quotas(k)
+        is_main = cat_rank < quotas[cat]
+
+        # --- dedup (user, item): keep main over fallback, then lowest priority
+        order = np.lexsort((cat, ~is_main, items, u_pos))
+        u_sorted = u_pos[order]
+        i_sorted = items[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (u_sorted[1:] != u_sorted[:-1]) | (i_sorted[1:] != i_sorted[:-1])
+        kept = order[first]
+
+        u_k, main_k, rank_k, cat_k = u_pos[kept], is_main[kept], cat_rank[kept], cat[kept]
+
+        # --- sufficiency: users whose main rows already fill k slots
+        main_per_user = np.bincount(u_k[main_k], minlength=n_subjects)
+        needs_fill = main_per_user < k
+
+        from_sufficient = kept[main_k & ~needs_fill[u_k]]
+
+        # --- fallback fill for the rest: per-user head-k of
+        #     (main desc, category rank, priority)
+        fill_rows = np.flatnonzero(needs_fill[u_k])
+        fill_order = np.lexsort((cat_k[fill_rows], rank_k[fill_rows], ~main_k[fill_rows], u_k[fill_rows]))
+        fill_sorted = fill_rows[fill_order]
+        starts = np.ones(len(fill_sorted), dtype=bool)
+        starts[1:] = u_k[fill_sorted[1:]] != u_k[fill_sorted[:-1]]
+        within_user = _group_cumcount(starts)
+        from_fill = kept[fill_sorted[within_user < k]]
+
+        final = np.concatenate([from_sufficient, from_fill])
+        if len(final) == 0:
+            return final
+
+        # --- mixing
+        u_f, cat_f, rank_f = u_pos[final], cat[final], cat_rank[final]
+        if self.mixing_strategy == MixingStrategy.GROUP:
+            return final[np.lexsort((rank_f, cat_f, u_f))]
+        # rotate: renumber ranks densely within (user, category) — surviving
+        # rows keep their relative order but close the gaps dedup/fill left —
+        # then interleave categories round-robin
+        dense_order = np.lexsort((rank_f, cat_f, u_f))
+        starts = np.ones(len(dense_order), dtype=bool)
+        starts[1:] = (u_f[dense_order[1:]] != u_f[dense_order[:-1]]) | (
+            cat_f[dense_order[1:]] != cat_f[dense_order[:-1]]
+        )
+        dense_rank = np.empty(len(final), dtype=np.int64)
+        dense_rank[dense_order] = _group_cumcount(starts)
+        return final[np.lexsort((cat_f, dense_rank, u_f))]
 
     # --------------------------------------------------------------- recommend
-
-    def _get_full_recs_from_main_and_fallback(
-        self,
-        main_recs: tp.List[pd.DataFrame],
-        fallback_recs: tp.List[pd.DataFrame],
-        k: int,
-        user_ids: np.ndarray,
-    ) -> pd.DataFrame:
-        cat_recs = pd.concat(main_recs, sort=False)
-        cat_recs.drop_duplicates(subset=[Columns.User, Columns.Item], inplace=True)
-
-        num_recs_per_user = cat_recs[Columns.User].value_counts()
-        user_w_insufficient_recs = num_recs_per_user[num_recs_per_user < k].index
-        user_w_no_recs = np.setdiff1d(user_ids, num_recs_per_user.index)
-        user_w_insufficient_recs = np.union1d(user_w_insufficient_recs, user_w_no_recs)
-
-        sufficient_mask = ~cat_recs[Columns.User].isin(user_w_insufficient_recs)
-        sufficient_recs = cat_recs[sufficient_mask]
-        insufficient_recs = cat_recs[~sufficient_mask].copy()
-        insufficient_recs["is_main_rec"] = True
-
-        extra_recs = pd.concat(fallback_recs, sort=False)
-        extra_recs = extra_recs[extra_recs[Columns.User].isin(user_w_insufficient_recs)].copy()
-        extra_recs["is_main_rec"] = False
-
-        insufficient_recs = pd.concat([insufficient_recs, extra_recs], sort=False)
-        insufficient_recs.drop_duplicates(subset=[Columns.User, Columns.Item], inplace=True)
-        # rotate-mix fallbacks so the most popular category doesn't dominate
-        insufficient_recs.sort_values(
-            by=[Columns.User, "is_main_rec", "category_rank", "category_priority"],
-            ascending=[True, False, True, True],
-            inplace=True,
-        )
-        insufficient_recs = insufficient_recs.groupby(Columns.User).head(k)
-        return pd.concat([sufficient_recs, insufficient_recs], sort=False)
 
     def _recommend_u2i(
         self,
@@ -267,39 +376,59 @@ class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBa
         filter_viewed: bool,
         sorted_item_ids_to_recommend: tp.Optional[np.ndarray],
     ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        num_recs = self._get_num_recs_for_each_category(k)
-        main_recs = []
-        fallback_recs = []
-        for priority, num_col in enumerate(num_recs.index):
-            model = self.models[num_col]
-            all_user_ids, all_reco_ids, all_scores = model._recommend_u2i(  # pylint: disable=protected-access
-                user_ids=user_ids,
-                dataset=dataset,
-                k=k,
-                filter_viewed=filter_viewed,
-                sorted_item_ids_to_recommend=sorted_item_ids_to_recommend,
-            )
-            reco_df = pd.DataFrame(
-                {
-                    Columns.User: all_user_ids,
-                    Columns.Item: all_reco_ids,
-                    Columns.Score: all_scores,
-                    "category_priority": priority,
-                }
-            )
-            reco_df["category_rank"] = reco_df.groupby([Columns.User], sort=False).cumcount()
-            main_mask = reco_df["category_rank"] < num_recs.loc[num_col]
-            main_recs.append(reco_df[main_mask])
-            fallback_recs.append(reco_df[~main_mask])
+        cat_items, cat_scores = self._whitelisted_lists(sorted_item_ids_to_recommend)
+        n_cat = self.n_effective_categories
+        n_items = dataset.item_id_map.size
+        n_users = len(user_ids)
 
-        full_recs = self._get_full_recs_from_main_and_fallback(main_recs, fallback_recs, k, user_ids)
+        # (n_items, n_cat) order values: larger = earlier in the category's
+        # popularity list, 0 = not in this category's list. True scores go in
+        # a parallel lookup used after ranking.
+        order_values = np.zeros((n_items, n_cat), dtype=np.float32)
+        score_lookup = np.zeros((n_items, n_cat), dtype=np.float32)
+        for c, (c_items, c_scores) in enumerate(zip(cat_items, cat_scores)):
+            order_values[c_items, c] = np.arange(len(c_items), 0, -1, dtype=np.float32)
+            score_lookup[c_items, c] = c_scores
 
-        if self.mixing_strategy == MixingStrategy.GROUP:
-            full_recs.sort_values(by=[Columns.User, "category_priority", "category_rank"], inplace=True)
-        else:
-            full_recs["category_rank"] = full_recs.groupby([Columns.User, "category_priority"], sort=False).cumcount()
-            full_recs.sort_values(by=[Columns.User, "category_rank", "category_priority"], inplace=True)
-        return full_recs[Columns.User].values, full_recs[Columns.Item].values, full_recs[Columns.Score].values
+        # one top-k call for ALL (user, category) pairs: subject row u*C + c
+        # is the c-th basis vector, so its scores are category c's order
+        # values; the engine handles seen-item masking per row
+        n_rows = n_users * n_cat
+        subjects = sparse.csr_matrix(
+            (
+                np.ones(n_rows, dtype=np.float32),
+                np.tile(np.arange(n_cat), n_users),
+                np.arange(n_rows + 1),
+            ),
+            shape=(n_rows, n_cat),
+        )
+        filter_csr = None
+        if filter_viewed:
+            user_rows = dataset.get_user_item_matrix(include_weights=False)[user_ids]
+            filter_csr = user_rows[np.repeat(np.arange(n_users), n_cat)]
+
+        ranker = TPURanker(Distance.DOT, subjects, order_values)
+        flat_pos, rec_items, rec_order = ranker.rank(
+            subject_ids=np.arange(n_rows), k=k, filter_pairs_csr=filter_csr
+        )
+
+        # decode (user, category) and drop non-member hits (order value 0)
+        member = rec_order >= 1.0
+        flat_pos, rec_items = flat_pos[member], rec_items[member]
+        u_pos = flat_pos // n_cat
+        cat = flat_pos % n_cat
+        # rows arrive grouped per flat subject in rank order
+        starts = np.ones(len(flat_pos), dtype=bool)
+        starts[1:] = flat_pos[1:] != flat_pos[:-1]
+        cat_rank = _group_cumcount(starts)
+        true_scores = score_lookup[rec_items, cat]
+
+        chosen = self._mix_and_fill(u_pos, rec_items, true_scores, cat, cat_rank, n_users, k)
+        return (
+            np.asarray(user_ids)[u_pos[chosen]],
+            rec_items[chosen].astype(np.int64),
+            true_scores[chosen],
+        )
 
     def _recommend_i2i(
         self,
@@ -319,41 +448,22 @@ class PopularInCategoryModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBa
     def _get_cold_reco(
         self, dataset: Dataset, k: int, sorted_item_ids_to_recommend: tp.Optional[np.ndarray]
     ) -> tp.Tuple[np.ndarray, np.ndarray]:
-        num_recs = self._get_num_recs_for_each_category(k)
-        main_recs = []
-        fallback_recs = []
-        for priority, num_col in enumerate(num_recs.index):
-            model = self.models[num_col]
-            reco_ids, reco_scores = model._get_cold_reco(  # pylint: disable=protected-access
-                dataset, k, sorted_item_ids_to_recommend
-            )
-            reco_df = pd.DataFrame(
-                {Columns.Item: reco_ids, Columns.Score: reco_scores, "category_priority": priority}
-            )
-            reco_df["category_rank"] = range(len(reco_df))
-            main_mask = reco_df["category_rank"] < num_recs.loc[num_col]
-            main_recs.append(reco_df[main_mask])
-            fallback_recs.append(reco_df[~main_mask])
-        cat_recs = pd.concat(main_recs, sort=False)
-        cat_recs.drop_duplicates(subset=[Columns.Item], inplace=True)
-        if len(cat_recs) < k:
-            cat_recs["is_main_rec"] = True
-            extra_recs = pd.concat(fallback_recs, sort=False)
-            extra_recs["is_main_rec"] = False
-            full_recs = pd.concat([cat_recs, extra_recs], sort=False)
-            full_recs.drop_duplicates(subset=[Columns.Item], inplace=True)
-            full_recs.sort_values(
-                by=["is_main_rec", "category_rank", "category_priority"],
-                ascending=[False, True, True],
-                inplace=True,
-            )
-            full_recs = full_recs.head(k)
-        else:
-            full_recs = cat_recs
+        """Fixed list for cold targets: the same quota/mix pipeline applied to
+        the raw category list heads (one pseudo-user, no filtering)."""
+        cat_items, cat_scores = self._whitelisted_lists(sorted_item_ids_to_recommend)
+        items_parts, scores_parts, cat_parts, rank_parts = [], [], [], []
+        for c, (c_items, c_scores) in enumerate(zip(cat_items, cat_scores)):
+            head = min(k, len(c_items))
+            items_parts.append(c_items[:head])
+            scores_parts.append(c_scores[:head])
+            cat_parts.append(np.full(head, c, dtype=np.int64))
+            rank_parts.append(np.arange(head, dtype=np.int64))
+        items = np.concatenate(items_parts) if items_parts else np.array([], dtype=np.int64)
+        scores = np.concatenate(scores_parts) if scores_parts else np.array([], dtype=np.float64)
+        cat = np.concatenate(cat_parts) if cat_parts else np.array([], dtype=np.int64)
+        cat_rank = np.concatenate(rank_parts) if rank_parts else np.array([], dtype=np.int64)
 
-        if self.mixing_strategy == MixingStrategy.GROUP:
-            full_recs.sort_values(by=["category_priority", "category_rank"], inplace=True)
-        else:
-            full_recs["category_rank"] = full_recs.groupby(["category_priority"], sort=False).cumcount()
-            full_recs.sort_values(by=["category_rank", "category_priority"], inplace=True)
-        return full_recs[Columns.Item].values, full_recs[Columns.Score].values
+        chosen = self._mix_and_fill(
+            np.zeros(len(items), dtype=np.int64), items, scores, cat, cat_rank, 1, k
+        )
+        return items[chosen].astype(np.int64), scores[chosen].astype(np.float32)

@@ -50,7 +50,7 @@ def _next_pow2(n: int, minimum: int = 8) -> int:
     return max(minimum, 1 << max(0, (n - 1).bit_length()))
 
 
-@partial(jax.jit, static_argnames=("k", "mode", "approx"))
+@partial(jax.jit, static_argnames=("k", "mode", "approx", "recall_target"))
 def _score_mask_topk(
     subjects: jax.Array,  # (B, D) f32
     objects_t: jax.Array,  # (D, N_pad) f32 (COSINE: pre-normalised)
@@ -60,6 +60,7 @@ def _score_mask_topk(
     k: int,
     mode: int,  # Distance.value (static)
     approx: bool = False,
+    recall_target: float = 0.95,
 ) -> tp.Tuple[jax.Array, jax.Array, jax.Array]:
     """Core kernel: returns (top_idx (B,k) i32, report_scores (B,k) f32, valid (B,k) bool)."""
     # HIGHEST precision: full-f32 MXU passes. Ranking parity with the exact
@@ -85,9 +86,9 @@ def _score_mask_topk(
 
     if approx:
         # TPU-native approximate search (the nmslib-HNSW role of reference
-        # tools/ann.py, but as one XLA op): recall ~95% at much lower sort
-        # cost for large catalogs.
-        top_scores, top_idx = jax.lax.approx_max_k(rank_scores, k, recall_target=0.95)
+        # tools/ann.py, but as one XLA op): `recall_target` is the engine's
+        # recall/speed dial — the counterpart of HNSW's efSearch.
+        top_scores, top_idx = jax.lax.approx_max_k(rank_scores, k, recall_target=recall_target)
         top_idx = top_idx.astype(jnp.int32)
     else:
         top_scores, top_idx = jax.lax.top_k(rank_scores, k)
@@ -295,9 +296,11 @@ class TopKEngine:
         batch_size: int = 4096,
         use_bfloat16: bool = False,
         approximate: bool = False,
+        recall_target: float = 0.95,
     ) -> None:
         self.distance = distance
         self.approximate = approximate
+        self.recall_target = recall_target
         self.n_objects, self.dim = objects.shape
         self.batch_size = batch_size
         objects = np.asarray(objects, dtype=np.float32)
@@ -372,6 +375,7 @@ class TopKEngine:
             k_eff,
             self.distance.value,
             self.approximate,
+            self.recall_target,
         )
 
     @staticmethod

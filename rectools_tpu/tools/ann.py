@@ -33,8 +33,12 @@ class BaseAnnRecommender:
         index_top_k: int = 0,
         distance: Distance = Distance.COSINE,
         approximate: bool = False,
+        recall_target: float = 0.95,
     ) -> None:
         self.approximate = approximate
+        # recall/speed dial for approximate mode — the counterpart of HNSW's
+        # efSearch in the reference (tools/ann.py efS=100 default)
+        self.recall_target = recall_target
         self.item_vectors = np.asarray(item_vectors, dtype=np.float32)
         if isinstance(item_id_map, dict):
             self.item_id_map = IdMap.from_dict(item_id_map)
@@ -47,7 +51,10 @@ class BaseAnnRecommender:
     def fit(self: T, verbose: bool = False) -> T:
         """Load the item table to device (the reference builds an HNSW index here)."""
         self._engine = TopKEngine(
-            self.item_vectors, distance=self.distance, approximate=self.approximate
+            self.item_vectors,
+            distance=self.distance,
+            approximate=self.approximate,
+            recall_target=self.recall_target,
         )
         return self
 
@@ -59,7 +66,10 @@ class BaseAnnRecommender:
     def _require_engine(self) -> TopKEngine:
         if self._engine is None:
             self._engine = TopKEngine(
-                self.item_vectors, distance=self.distance, approximate=getattr(self, "approximate", False)
+                self.item_vectors,
+                distance=self.distance,
+                approximate=getattr(self, "approximate", False),
+                recall_target=getattr(self, "recall_target", 0.95),
             )
         return self._engine
 
@@ -112,8 +122,9 @@ class UserToItemAnnRecommender(BaseAnnRecommender):
         index_top_k: int = 0,
         distance: Distance = Distance.COSINE,
         approximate: bool = False,
+        recall_target: float = 0.95,
     ) -> None:
-        super().__init__(item_vectors, item_id_map, index_top_k, distance, approximate)
+        super().__init__(item_vectors, item_id_map, index_top_k, distance, approximate, recall_target)
         self.user_vectors = np.asarray(user_vectors, dtype=np.float32)
         if isinstance(user_id_map, dict):
             self.user_id_map = IdMap.from_dict(user_id_map)
