@@ -29,6 +29,19 @@ class VectorModel(ModelBase[ModelConfig_T]):
     u2i_dist: Distance = NotImplemented
     i2i_dist: Distance = NotImplemented
 
+    @staticmethod
+    def _rank_on_engine(
+        distance: Distance,
+        subjects: np.ndarray,
+        objects: np.ndarray,
+        subject_ids: np.ndarray,
+        k: int,
+        seen_csr: tp.Optional[tp.Any] = None,
+        whitelist: tp.Optional[np.ndarray] = None,
+    ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        engine = TPURanker(distance, subjects, objects)
+        return engine.rank(subject_ids, k, filter_pairs_csr=seen_csr, sorted_object_whitelist=whitelist)
+
     def _recommend_u2i(
         self,
         user_ids: np.ndarray,
@@ -37,18 +50,13 @@ class VectorModel(ModelBase[ModelConfig_T]):
         filter_viewed: bool,
         sorted_item_ids_to_recommend: tp.Optional[np.ndarray],
     ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        seen_csr = None
         if filter_viewed:
-            user_items = dataset.get_user_item_matrix(include_weights=False)
-            ui_csr_for_filter = user_items[user_ids]
-        else:
-            ui_csr_for_filter = None
+            seen_csr = dataset.get_user_item_matrix(include_weights=False)[user_ids]
         user_vectors, item_vectors = self._get_u2i_vectors(dataset)
-        ranker = TPURanker(self.u2i_dist, user_vectors, item_vectors)
-        return ranker.rank(
-            subject_ids=user_ids,
-            k=k,
-            filter_pairs_csr=ui_csr_for_filter,
-            sorted_object_whitelist=sorted_item_ids_to_recommend,
+        return self._rank_on_engine(
+            self.u2i_dist, user_vectors, item_vectors, user_ids, k,
+            seen_csr=seen_csr, whitelist=sorted_item_ids_to_recommend,
         )
 
     def _recommend_i2i(
@@ -58,57 +66,53 @@ class VectorModel(ModelBase[ModelConfig_T]):
         k: int,
         sorted_item_ids_to_recommend: tp.Optional[np.ndarray],
     ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        item_vectors_1, item_vectors_2 = self._get_i2i_vectors(dataset)
-        ranker = TPURanker(self.i2i_dist, item_vectors_1, item_vectors_2)
-        return ranker.rank(
-            subject_ids=target_ids,
-            k=k,
-            filter_pairs_csr=None,
-            sorted_object_whitelist=sorted_item_ids_to_recommend,
+        subjects, objects = self._get_i2i_vectors(dataset)
+        return self._rank_on_engine(
+            self.i2i_dist, subjects, objects, target_ids, k,
+            whitelist=sorted_item_ids_to_recommend,
         )
 
-    def _process_biases_to_vectors(
-        self,
-        distance: Distance,
-        subject_embeddings: np.ndarray,
-        subject_biases: np.ndarray,
-        object_embeddings: np.ndarray,
-        object_biases: np.ndarray,
-    ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    @staticmethod
+    def _fold_biases(distance: Distance, factors: Factors, side: str) -> np.ndarray:
+        """Fold additive biases into the embedding space so the plain MIPS
+        kernel scores them for free.
+
+        For DOT the target score is ``b_s + b_o + <e_s, e_o>``: prefixing
+        subjects with ``(b_s, 1)`` and objects with ``(1, b_o)`` makes the two
+        cross terms of the padded dot product reproduce exactly the bias sum.
+        For COSINE/EUCLIDEAN the bias joins as one shared extra coordinate on
+        both sides (reference convention, vector.py:105-134).
+        """
+        biases = factors.biases
+        assert biases is not None
+        bias_col = biases.reshape(-1, 1)
+        ones_col = np.ones_like(bias_col)
         if distance == Distance.DOT:
-            subject_vectors = np.hstack(
-                (subject_biases[:, np.newaxis], np.ones((subject_biases.size, 1)), subject_embeddings)
-            )
-            object_vectors = np.hstack(
-                (np.ones((object_biases.size, 1)), object_biases[:, np.newaxis], object_embeddings)
-            )
+            prefix = (bias_col, ones_col) if side == "subject" else (ones_col, bias_col)
         elif distance in (Distance.COSINE, Distance.EUCLIDEAN):
-            subject_vectors = np.hstack((subject_biases[:, np.newaxis], subject_embeddings))
-            object_vectors = np.hstack((object_biases[:, np.newaxis], object_embeddings))
+            prefix = (bias_col,)
         else:
             raise ValueError(f"Unexpected distance `{distance}`")
-        return subject_vectors, object_vectors
+        return np.hstack(prefix + (factors.embeddings,))
 
     def _get_u2i_vectors(self, dataset: Dataset) -> tp.Tuple[np.ndarray, np.ndarray]:
         user_factors = self._get_users_factors(dataset)
         item_factors = self._get_items_factors(dataset)
-        user_vectors = user_factors.embeddings
-        item_vectors = item_factors.embeddings
         if user_factors.biases is not None and item_factors.biases is not None:
-            user_vectors, item_vectors = self._process_biases_to_vectors(
-                self.u2i_dist, user_vectors, user_factors.biases, item_vectors, item_factors.biases
+            return (
+                self._fold_biases(self.u2i_dist, user_factors, "subject"),
+                self._fold_biases(self.u2i_dist, item_factors, "object"),
             )
-        return user_vectors, item_vectors
+        return user_factors.embeddings, item_factors.embeddings
 
     def _get_i2i_vectors(self, dataset: Dataset) -> tp.Tuple[np.ndarray, np.ndarray]:
         item_factors = self._get_items_factors(dataset)
-        item_vectors = item_factors.embeddings
-        item_vectors_1 = item_vectors_2 = item_vectors
         if item_factors.biases is not None:
-            item_vectors_1, item_vectors_2 = self._process_biases_to_vectors(
-                self.i2i_dist, item_vectors, item_factors.biases, item_vectors, item_factors.biases
+            return (
+                self._fold_biases(self.i2i_dist, item_factors, "subject"),
+                self._fold_biases(self.i2i_dist, item_factors, "object"),
             )
-        return item_vectors_1, item_vectors_2
+        return item_factors.embeddings, item_factors.embeddings
 
     def _get_users_factors(self, dataset: Dataset) -> Factors:
         raise NotImplementedError()

@@ -145,6 +145,11 @@ def bpr_fit(
             item_emb=jnp.asarray(rng.normal(size=(n_items, factors)).astype(np.float32) / factors),
             item_bias=jnp.zeros((n_items,), dtype=jnp.float32),
         )
+    # Small datasets: one batch must not exceed the interaction count, or the
+    # epoch's wrap-around padding (built from a single permutation copy)
+    # cannot fill it.
+    batch_size = max(1, min(batch_size, int(users.shape[0])))
+
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     for _ in range(iterations):
         key, sub = jax.random.split(key)
