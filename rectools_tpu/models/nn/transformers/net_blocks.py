@@ -11,6 +11,7 @@ NaN under a boolean key-padding mask).
 
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -50,17 +51,16 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, l, self.n_heads, head_dim)
         scale = 1.0 / float(head_dim) ** 0.5
 
-        if deterministic or self.dropout_rate == 0.0:
-            # Pallas fused attention on TPU, jnp path elsewhere
-            out = dot_product_attention(q, k, v, attn_bias, scale)
-        else:
-            # attention-probability dropout needs materialized probs
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-            if attn_bias is not None:
-                scores = scores + attn_bias
-            probs = nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        # One path for training AND inference: the fused kernel (or its XLA
+        # twin off-TPU) applies attention-probability dropout in-kernel with
+        # a counter-based mask, so the default dropout_rate=0.2 config stays
+        # on the Pallas kernel. The seed comes from the flax dropout stream.
+        rate = 0.0 if deterministic else self.dropout_rate
+        seed = None
+        if rate > 0.0:
+            rng = self.make_rng("dropout")
+            seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        out = dot_product_attention(q, k, v, attn_bias, scale, dropout_rate=rate, dropout_seed=seed)
         out = out.reshape(b, l, self.n_factors)
         return nn.Dense(self.n_factors, name="out_proj")(out)
 

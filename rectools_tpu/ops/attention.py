@@ -1,23 +1,28 @@
-"""Fused attention kernel (Pallas) with additive bias.
+"""Fused attention kernel (Pallas) with additive bias and in-kernel dropout.
 
 The transformer stack's hot op. The reference computes dense O(L^2) attention
 through torch MHA (rectools/models/nn/transformers/torch_backbone.py:249-259);
 here the whole per-head attention — scores, additive bias (causal/key-padding
-masks and HSTU-style relative biases are all additive float biases in this
-framework), softmax, and the value contraction — runs in one Pallas kernel:
-q blocks stream through VMEM while K/V stay resident, so the (L, L) score
-matrix never round-trips to HBM. Sessions are short (L ~ 100-1000 padded to
-lane multiples), so K/V fit VMEM comfortably and blockwise-q fusion is the
-speed-of-light layout; the q-block loop also makes long-session scaling a
-config knob (SURVEY.md §5 long-context note).
+masks and relative biases are all additive float biases in this framework),
+softmax, attention-probability dropout, and the value contraction — runs in
+one Pallas kernel: q blocks stream through VMEM while K/V stay resident, so
+the (L, L) score matrix never round-trips to HBM. Sessions are short
+(L ~ 100-1000 padded to lane multiples), so K/V fit VMEM comfortably and
+blockwise-q fusion is the speed-of-light layout; the q-block loop also makes
+long-session scaling a config knob (SURVEY.md §5 long-context note).
 
-Backward runs as standard XLA einsum math reusing the forward's logsumexp
-(memory is dominated by activations elsewhere; fusing the backward too is a
-further optimization, not a correctness need).
+Dropout is counter-based: the keep mask is a pure function of
+(seed, batch*head index, query row, key column) through a murmur3-style
+integer hash computed with plain VPU ops. The same function runs inside the
+Pallas kernels, in the XLA fallback path, and under interpret mode, so
+TPU-vs-CPU training semantics are bit-identical and CI can test the dropout
+path without hardware PRNG support.
 
-Dispatch: `dot_product_attention` uses the Pallas kernel on TPU when there is
-no attention-probability dropout; otherwise (CPU tests, prob-dropout training)
-it falls back to the jnp path with identical semantics.
+Backward is a second Pallas kernel (one program per batch*head row) that
+recomputes scores blockwise from the forward's logsumexp and regenerates the
+dropout mask — dq/dk/dv never materialize the (B, H, L, L) probability
+tensor in HBM either. Bias gradients, when requested, take an XLA recompute
+path (biases are constant masks on every built-in training path).
 """
 
 import typing as tp
@@ -25,14 +30,65 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
+# the Pallas backward keeps the full (L_pad, L) bias block in VMEM; beyond
+# this it falls back to the XLA recompute backward
+MAX_FUSED_BWD_LEN = 1024
+
+_GOLDEN = np.uint32(0x9E3779B9)
+_GOLDEN_I32 = np.int32(np.uint32(0x9E3779B9).astype(np.int32))  # same bits, signed
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float):
-    """One (batch*head, q-block) program: fused scores+bias+softmax+PV."""
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer: full avalanche on 32-bit lanes (VPU int ops only)."""
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _dropout_threshold(dropout_rate: float) -> np.uint32:
+    return np.uint32(min(0xFFFFFFFF, int(round(dropout_rate * 4294967296.0))))
+
+
+def dropout_keep_mask(
+    seed: jnp.ndarray,  # () or (1,) int32
+    bh_index: jnp.ndarray,  # () int32 — batch*head row
+    row_start: jnp.ndarray,  # () int32 — absolute first query row of the tile
+    n_rows: int,
+    n_cols: int,
+    dropout_rate: float,
+) -> jnp.ndarray:
+    """(n_rows, n_cols) float32 keep mask in {0, 1}; P(1) = 1 - dropout_rate.
+
+    Pure function of (seed, bh_index, absolute row, col): tiles of the same
+    logical (L, L) mask agree regardless of block decomposition, which is what
+    lets forward and backward regenerate identical masks.
+    """
+    # Scalars stay plain int32 arithmetic (Mosaic lowers 0-D vector ops
+    # poorly); the avalanche hash runs on the 2-D lane array only. int32
+    # multiply wraps identically to uint32, so the salt mixing is exact.
+    rows = row_start + jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 1)
+    pos = rows * np.int32(n_cols) + cols  # (n_rows, n_cols) int32
+    salt = seed + bh_index * np.int32(40503)  # scalar-ish; (1,) in the XLA path
+    mixed = pos * _GOLDEN_I32 + salt * np.int32(0x01000193)
+    bits = _fmix32(mixed.astype(jnp.uint32))
+    return (bits >= _dropout_threshold(dropout_rate)).astype(jnp.float32)
+
+
+def _attn_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float, dropout_rate: float, block_q: int
+):
+    """One (batch*head, q-block) program: scores+bias+softmax+dropout+PV."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     q = q_ref[0]  # (block_q, dh)
     k = k_ref[0]  # (L, dh)
     v = v_ref[0]  # (L, dh)
@@ -43,9 +99,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: floa
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = dropout_keep_mask(seed_ref[0], i, j * block_q, block_q, k.shape[0], dropout_rate)
+        p = p * keep * (1.0 / (1.0 - dropout_rate))
     out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
     out_ref[0] = out.astype(out_ref.dtype)
     lse_ref[0] = (m[:, 0] + jnp.log(denom[:, 0]))[None, :]
+
+
+def _bias_index_fn(bias_b: int, bias_h: int, h: int):
+    """Broadcast-aware (flat bias row) index for a given batch*head row."""
+
+    def index(i, j, *_):
+        if bias_b == 1 and bias_h == 1:
+            return (0, j, 0)
+        if bias_b == 1:
+            return (i % h, j, 0)  # bias is (1, H, L, L) -> flat (H, L, L)
+        if bias_h == 1:
+            return (i // h, j, 0)  # bias is (B, 1, L, L) -> flat (B, L, L)
+        return (i, j, 0)
+
+    return index
 
 
 def _pallas_attention(
@@ -53,7 +127,9 @@ def _pallas_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: jnp.ndarray,  # (Bb, Hb, L, L), Bb in {1, B}, Hb in {1, H}
+    seed: jnp.ndarray,  # (1,) int32
     scale: float,
+    dropout_rate: float,
     block_q: int,
     interpret: bool = False,
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,88 +143,289 @@ def _pallas_attention(
 
     n_q_blocks = pl.cdiv(l, block_q)
 
-    def bias_index(i, j):
-        # broadcast over batch and/or head without materializing
-        if bias_b == 1 and bias_h == 1:
-            return (0, j, 0)
-        if bias_b == 1:
-            return (i % h, j, 0)  # bias is (1, H, L, L) -> flat (H, L, L)
-        if bias_h == 1:
-            return (i // h, j, 0)  # bias is (B, 1, L, L) -> flat (B, L, L)
-        return (i, j, 0)
-
     out, lse = pl.pallas_call(
-        partial(_attn_kernel, scale=scale),
-        grid=(bh, n_q_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, l, dh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, l, dh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_q, l), bias_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
-        ],
+        partial(_attn_fwd_kernel, scale=scale, dropout_rate=dropout_rate, block_q=block_q),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, n_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, block_q, l), _bias_index_fn(bias_b, bias_h, h)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda i, j, *_: (i, 0, j)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, 1, l), jnp.float32),
         ],
         interpret=interpret,
-    )(q3, k3, v3, bias3)
+    )(seed.astype(jnp.int32), q3, k3, v3, bias3)
     return out.reshape(b, h, l, dh), lse.reshape(b, h, l)
 
 
+def _attn_bwd_kernel(
+    seed_ref,
+    q_ref,  # (1, L_pad, dh)
+    k_ref,  # (1, L, dh)
+    v_ref,  # (1, L, dh)
+    bias_ref,  # (1, L_pad, L)
+    lse_ref,  # (1, 1, L_pad) — padded rows hold +inf-ish so p == 0 there
+    delta_ref,  # (1, 1, L_pad)
+    do_ref,  # (1, L_pad, dh)
+    dq_ref,  # (1, L_pad, dh)
+    dk_ref,  # (1, L, dh)
+    dv_ref,  # (1, L, dh)
+    *,
+    scale: float,
+    dropout_rate: float,
+    block_q: int,
+    n_q_blocks: int,
+):
+    """One program per batch*head row: loop q blocks, recompute probabilities
+    from lse, regenerate the dropout mask, accumulate dk/dv in VMEM."""
+    i = pl.program_id(0)
+    k = k_ref[0]  # (L, dh)
+    v = v_ref[0]
+    l_total = k.shape[0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    dk_ref[0] = jnp.zeros_like(dk_ref[0])
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    def body(qi, _):
+        rows = pl.ds(qi * block_q, block_q)
+        q_blk = q_ref[0, rows, :]  # (block_q, dh)
+        do_blk = do_ref[0, rows, :]
+        lse_blk = lse_ref[0, 0, rows]
+        delta_blk = delta_ref[0, 0, rows]
+        s = (
+            jax.lax.dot_general(
+                q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+            + bias_ref[0, rows, :]
+        )
+        p = jnp.exp(s - lse_blk[:, None])  # normalized probs; 0 on padded rows
+        dp = jax.lax.dot_general(
+            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            keep = dropout_keep_mask(seed_ref[0], i, qi * block_q, block_q, l_total, dropout_rate)
+            p_dropped = p * keep * inv_keep
+            dp = dp * keep * inv_keep
+        else:
+            p_dropped = p
+        dv_ref[0] += jax.lax.dot_general(
+            p_dropped, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        ds = p * (dp - delta_blk[:, None])
+        dq_ref[0, rows, :] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dk_ref[0] += (
+            jax.lax.dot_general(
+                ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_blocks, body, 0)
+
+
+def _pallas_attention_bwd(
+    q: jnp.ndarray,  # (B, H, L, dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    seed: jnp.ndarray,
+    lse: jnp.ndarray,  # (B, H, L)
+    delta: jnp.ndarray,  # (B, H, L)
+    d_out: jnp.ndarray,
+    scale: float,
+    dropout_rate: float,
+    block_q: int,
+    interpret: bool = False,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, h, l, dh = q.shape
+    bh = b * h
+    block_q = min(block_q, l)
+    n_q_blocks = pl.cdiv(l, block_q)
+    l_pad = n_q_blocks * block_q
+
+    q3 = q.reshape(bh, l, dh)
+    k3 = k.reshape(bh, l, dh)
+    v3 = v.reshape(bh, l, dh)
+    do3 = d_out.reshape(bh, l, dh)
+    lse3 = lse.reshape(bh, 1, l)
+    delta3 = delta.reshape(bh, 1, l)
+    bias_b, bias_h = bias.shape[0], bias.shape[1]
+    bias3 = bias.reshape(bias_b * bias_h, l, l)
+    if l_pad > l:
+        pad = l_pad - l
+        q3 = jnp.pad(q3, ((0, 0), (0, pad), (0, 0)))
+        do3 = jnp.pad(do3, ((0, 0), (0, pad), (0, 0)))
+        # padded rows: lse=+big makes exp(s - lse) vanish, so they contribute
+        # nothing to dk/dv and their dq rows are discarded below
+        lse3 = jnp.pad(lse3, ((0, 0), (0, 0), (0, pad)), constant_values=1e30)
+        delta3 = jnp.pad(delta3, ((0, 0), (0, 0), (0, pad)))
+        bias3 = jnp.pad(bias3, ((0, 0), (0, pad), (0, 0)))
+
+    bias_q_index = _bias_index_fn(bias_b, bias_h, h)
+
+    def bias_row_index(i, *_):
+        # same broadcast mapping as the forward, full row range per program
+        return bias_q_index(i, 0)
+
+    dq, dk, dv = pl.pallas_call(
+        partial(
+            _attn_bwd_kernel,
+            scale=scale,
+            dropout_rate=dropout_rate,
+            block_q=block_q,
+            n_q_blocks=n_q_blocks,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l_pad, l), bias_row_index),
+                pl.BlockSpec((1, 1, l_pad), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, l_pad), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, l, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, l, dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(seed.astype(jnp.int32), q3, k3, v3, bias3, lse3, delta3, do3)
+    return (
+        dq[:, :l, :].reshape(b, h, l, dh),
+        dk.reshape(b, h, l, dh),
+        dv.reshape(b, h, l, dh),
+    )
+
+
+def _full_keep_mask(seed: jnp.ndarray, bh: int, l: int, dropout_rate: float) -> jnp.ndarray:
+    """(bh, l, l) keep mask — the XLA-path equivalent of the in-kernel tiles."""
+    return jax.vmap(
+        lambda row: dropout_keep_mask(seed, row, jnp.int32(0), l, l, dropout_rate)
+    )(jnp.arange(bh, dtype=jnp.int32))
+
+
 def _reference_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray, scale: float
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
-    lse = jax.nn.logsumexp(s, axis=-1)
-    p = jnp.exp(s - lse[..., None])
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
-    return out, lse
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: jnp.ndarray,
     scale: float,
+    dropout_rate: float = 0.0,
+    seed: tp.Optional[jnp.ndarray] = None,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA-math path with identical semantics (and identical dropout bits)."""
+    b, h, l, _ = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
+    lse = jax.nn.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[..., None])
+    if dropout_rate > 0.0:
+        keep = _full_keep_mask(seed, b * h, l, dropout_rate).reshape(b, h, l, l)
+        p = p * keep * (1.0 / (1.0 - dropout_rate))
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    return out, lse
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    seed: jnp.ndarray,  # (1,) int32 dropout seed (ignored when rate == 0)
+    scale: float,
+    dropout_rate: float = 0.0,
     block_q: int = DEFAULT_BLOCK_Q,
     interpret: bool = False,
+    bias_has_grad: bool = True,
 ) -> jnp.ndarray:
-    """Fused softmax attention: softmax(q k^T * scale + bias) v.
+    """Fused softmax attention: dropout(softmax(q k^T * scale + bias)) v.
 
     Shapes: q/k/v (B, H, L, dh); bias broadcastable (B|1, H|1, L, L).
+    ``bias_has_grad=False`` skips the bias-cotangent recompute entirely —
+    use it when the bias is a constant mask (every built-in training path);
+    with the default True the bias gradient is exact but is computed by an
+    XLA recompute that materializes (B, H, L, L) unless XLA dead-code
+    eliminates it.
     """
-    out, _ = _pallas_attention(q, k, v, bias, scale, min(block_q, q.shape[2]), interpret)
+    out, _ = _pallas_attention(q, k, v, bias, seed, scale, dropout_rate, min(block_q, q.shape[2]), interpret)
     return out
 
 
-def _fused_attention_fwd(q, k, v, bias, scale, block_q, interpret):
-    out, lse = _pallas_attention(q, k, v, bias, scale, min(block_q, q.shape[2]), interpret)
-    return out, (q, k, v, bias, out, lse)
+def _fused_attention_fwd(q, k, v, bias, seed, scale, dropout_rate, block_q, interpret, bias_has_grad):
+    out, lse = _pallas_attention(q, k, v, bias, seed, scale, dropout_rate, min(block_q, q.shape[2]), interpret)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _fused_attention_bwd(scale, block_q, interpret, residuals, d_out):
-    q, k, v, bias, out, lse = residuals
+def _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate):
+    """Recompute-based backward in plain XLA (used beyond the VMEM budget and
+    for bias gradients)."""
+    b, h, l, _ = q.shape
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
     p = jnp.exp(s - lse[..., None])
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, d_out, preferred_element_type=jnp.float32)
     dp = jnp.einsum("bhqd,bhkd->bhqk", d_out, v, preferred_element_type=jnp.float32)
-    delta = jnp.sum(d_out * out, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
+    if dropout_rate > 0.0:
+        keep = _full_keep_mask(seed, b * h, l, dropout_rate).reshape(b, h, l, l)
+        scaled_keep = keep * (1.0 / (1.0 - dropout_rate))
+        p_dropped = p * scaled_keep
+        dp = dp * scaled_keep
+    else:
+        p_dropped = p
+    ds = p * (dp - delta[..., None])
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k, preferred_element_type=jnp.float32) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q, preferred_element_type=jnp.float32) * scale
-    # reduce over broadcast axes of bias
-    db = ds
-    if bias.shape[0] == 1:
-        db = db.sum(axis=0, keepdims=True)
-    if bias.shape[1] == 1:
-        db = db.sum(axis=1, keepdims=True)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), db.astype(bias.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_dropped, d_out, preferred_element_type=jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds
+
+
+def _fused_attention_bwd(scale, dropout_rate, block_q, interpret, bias_has_grad, residuals, d_out):
+    q, k, v, bias, seed, out, lse = residuals
+    delta = jnp.sum(d_out.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    l = q.shape[2]
+    if l <= MAX_FUSED_BWD_LEN:
+        dq, dk, dv = _pallas_attention_bwd(
+            q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate, block_q, interpret
+        )
+        ds = None
+    else:
+        dq, dk, dv, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
+
+    if bias_has_grad:
+        if ds is None:
+            *_unused, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
+        db = ds
+        if bias.shape[0] == 1:
+            db = db.sum(axis=0, keepdims=True)
+        if bias.shape[1] == 1:
+            db = db.sum(axis=1, keepdims=True)
+        db = db.astype(bias.dtype)
+    else:
+        db = jnp.zeros_like(bias)
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, db, dseed
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
@@ -161,22 +438,31 @@ def dot_product_attention(
     bias: tp.Optional[jnp.ndarray],  # (B|1, 1|H, L, L) additive or None
     scale: float,
     use_fused: tp.Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: tp.Optional[jnp.ndarray] = None,
+    bias_has_grad: bool = False,
 ) -> jnp.ndarray:
     """Attention entry point for the transformer stack.
 
     Picks the Pallas fused kernel on TPU (or when forced via ``use_fused``),
-    the jnp path otherwise. Inputs/outputs use (B, L, H, dh) layout.
+    the jnp path otherwise — same math and same dropout bits either way.
+    Inputs/outputs use (B, L, H, dh) layout. Bias is treated as a constant
+    mask by default (``bias_has_grad=False``); learnable-bias layers must
+    opt in.
     """
     b, l, h, dh = q.shape
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if bias is None:
         bias = jnp.zeros((1, 1, l, l), dtype=jnp.float32)
+    seed = dropout_seed if dropout_seed is not None else jnp.zeros((1,), jnp.int32)
     if use_fused:
-        out = fused_attention(qt, kt, vt, bias, scale)
+        out = fused_attention(qt, kt, vt, bias, seed, scale, dropout_rate, DEFAULT_BLOCK_Q, False, bias_has_grad)
     else:
-        out, _ = _reference_attention(qt, kt, vt, bias, scale)
+        out, _ = _reference_attention(qt, kt, vt, bias, scale, dropout_rate, seed)
     return out.transpose(0, 2, 1, 3)

@@ -13,7 +13,14 @@ matrix nor the bias matrix ever exists in HBM.
 Bucket-table lookups run as one-hot matmuls — gathers from tiny tables are
 MXU-friendly one-hots on TPU, not scatter/gather ops.
 
-Backward recomputes the (L, L) intermediates in XLA math via custom_vjp.
+Backward is a second Pallas kernel (one program per batch*head row): it
+recomputes the (block_q, L) score tiles in VMEM — time buckets via a
+small masked-accumulate loop over the bucket table, the Toeplitz positional
+bias from a precomputed (L, L) matrix that is batch/head-independent — and
+emits dq/dk/dv plus the head-summed score gradient, from which the two tiny
+weight-table gradients are segment-summed in XLA. The (B, H, L, L) score
+tensor never exists in HBM in either direction; sessions longer than
+``MAX_FUSED_BWD_LEN`` fall back to the XLA recompute backward.
 """
 
 import typing as tp
@@ -24,6 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_BLOCK_Q = 128
+# beyond this the backward's per-program VMEM working set (full allowed-mask
+# block + head-summed score-gradient block) stops fitting comfortably
+MAX_FUSED_BWD_LEN = 512
 
 
 def _bucket(diff: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
@@ -203,6 +213,215 @@ def _stu_reference(
     return jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _stu_bwd_kernel(
+    q_ref,  # (1, L_pad, ad)
+    k_ref,  # (1, L, ad)
+    v_ref,  # (1, L, lh)
+    do_ref,  # (1, L_pad, lh)
+    ts_q_ref,  # (1, 1, L_pad)
+    ts_k_ref,  # (1, 1, L)
+    tl_q_ref,  # (1, 1, L_pad) — padded rows hold 0, killing their gradient
+    tl_k_ref,  # (1, 1, L)
+    allowed_ref,  # (1, L_pad, L)
+    tw_ref,  # (1, nb + 1)
+    pos_bias_ref,  # (1, L_pad, L) precomputed Toeplitz bias (zeros if unused)
+    dq_ref,  # (1, L_pad, ad)
+    dk_ref,  # (1, L, ad)
+    dv_ref,  # (1, L, lh)
+    *ds_bsum_ref,  # optional (1, L_pad, L): score grads summed over heads
+    l_total: int,
+    block_q: int,
+    n_q_blocks: int,
+    num_buckets: int,
+    use_time: bool,
+    track_ds: bool,
+    n_heads: int,
+):
+    """One program per batch*head row: recompute score tiles, emit dq/dk/dv
+    and (optionally) the head-summed score gradient for the weight tables."""
+    i = pl.program_id(0)
+    k = k_ref[0]
+    v = v_ref[0]
+    t_k = ts_k_ref[0, 0]
+    tl_k = tl_k_ref[0, 0]
+    nbp = num_buckets + 1
+
+    dk_ref[0] = jnp.zeros_like(dk_ref[0])
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    if track_ds:
+
+        @pl.when(i % n_heads == 0)
+        def _init_ds():  # first head of this batch row starts the sum
+            ds_bsum_ref[0][0] = jnp.zeros_like(ds_bsum_ref[0][0])
+
+    def time_bias_tile(buckets):
+        """tw lookup as a masked-accumulate loop over the tiny bucket table
+        (the forward's one-hot matmul would need a (block_q*L, nb) one-hot
+        in VMEM; the loop reads one scalar per bucket instead)."""
+
+        def body(j, acc):
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, nbp), 1) == j).astype(jnp.float32)
+            w_j = jnp.sum(tw_ref[0][None, :] * sel)
+            return acc + w_j * (buckets == j).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, nbp, body, jnp.zeros(buckets.shape, jnp.float32))
+
+    def body(qi, _):
+        rows = pl.ds(qi * block_q, block_q)
+        q_blk = q_ref[0, rows, :]
+        do_blk = do_ref[0, rows, :]
+        tl_q = tl_q_ref[0, 0, rows]
+        s = jax.lax.dot_general(
+            q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if use_time:
+            t_q = ts_q_ref[0, 0, rows]
+            s = s + time_bias_tile(_bucket(t_q[:, None] - t_k[None, :], num_buckets))
+        s = s + pos_bias_ref[0, rows, :]
+
+        sig = jax.nn.sigmoid(s)
+        mask = allowed_ref[0, rows, :] * tl_q[:, None] * tl_k[None, :]
+        a = (s * sig) * (mask / l_total)
+        da = jax.lax.dot_general(
+            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (da * mask / l_total) * (sig * (1.0 + s * (1.0 - sig)))
+
+        dv_ref[0] += jax.lax.dot_general(
+            a, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dq_ref[0, rows, :] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0] += jax.lax.dot_general(
+            ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        if track_ds:
+            ds_bsum_ref[0][0, rows, :] += ds
+        return 0
+
+    jax.lax.fori_loop(0, n_q_blocks, body, 0)
+
+
+def _stu_pallas_bwd(
+    q: jnp.ndarray,  # (B, H, L, ad)
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # (B, H, L, lh)
+    ts: jnp.ndarray,  # (B, L + 2) int32
+    timeline: jnp.ndarray,  # (B, L)
+    time_weights: jnp.ndarray,
+    pos_weights: jnp.ndarray,
+    allowed: jnp.ndarray,  # (1, L, L)
+    d_out: jnp.ndarray,
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+    block_q: int,
+    interpret: bool = False,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, h, l, ad = q.shape
+    lh = v.shape[-1]
+    bh = b * h
+    block_q = min(block_q, l)
+    n_q = pl.cdiv(l, block_q)
+    l_pad = n_q * block_q
+    track_ds = use_time or use_pos
+
+    def pad_rows(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+        if l_pad == l:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, l_pad - l)
+        return jnp.pad(x, widths)
+
+    q3 = pad_rows(q.reshape(bh, l, ad), 1)
+    do3 = pad_rows(d_out.reshape(bh, l, lh), 1)
+    k3 = k.reshape(bh, l, ad)
+    v3 = v.reshape(bh, l, lh)
+    ts_q3 = pad_rows(ts[:, 1 : l + 1], 1)[:, None, :].astype(jnp.int32)
+    ts_k3 = ts[:, :l][:, None, :].astype(jnp.int32)
+    tl_q3 = pad_rows(timeline, 1)[:, None, :]
+    tl_k3 = timeline[:, None, :]
+    allowed3 = pad_rows(allowed.astype(jnp.float32), 1)
+
+    # Toeplitz positional bias is batch/head-independent: materialize the
+    # (L, L) matrix once in XLA instead of looking it up per kernel tile
+    if use_pos:
+        positions = jnp.arange(l)
+        rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
+        pos_bias = pos_weights[rel_idx].astype(jnp.float32)
+    else:
+        pos_bias = jnp.zeros((l, l), jnp.float32)
+    pos_bias3 = pad_rows(pos_bias, 0)[None]
+
+    tw = time_weights.reshape(1, -1).astype(jnp.float32)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bh, l_pad, ad), q.dtype),
+        jax.ShapeDtypeStruct((bh, l, ad), k.dtype),
+        jax.ShapeDtypeStruct((bh, l, lh), v.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, l_pad, ad), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, l, ad), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, l, lh), lambda i: (i, 0, 0)),
+    ]
+    if track_ds:
+        out_shapes.append(jax.ShapeDtypeStruct((b, l_pad, l), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, l_pad, l), lambda i: (i // h, 0, 0)))
+
+    results = pl.pallas_call(
+        partial(
+            _stu_bwd_kernel,
+            l_total=l,
+            block_q=block_q,
+            n_q_blocks=n_q,
+            num_buckets=num_buckets,
+            use_time=use_time,
+            track_ds=track_ds,
+            n_heads=h,
+        ),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, l_pad, ad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, l, ad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, l, lh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, l_pad, lh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, l_pad), lambda i: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, l_pad), lambda i: (i // h, 0, 0)),
+            pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0)),
+            pl.BlockSpec((1, l_pad, l), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, tw.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((1, l_pad, l), lambda i: (0, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q3, k3, v3, do3, ts_q3, ts_k3, tl_q3, tl_k3, allowed3, tw, pos_bias3)
+
+    dq = results[0][:, :l, :].reshape(b, h, l, ad)
+    dk = results[1].reshape(b, h, l, ad)
+    dv = results[2].reshape(b, h, l, lh)
+
+    dtw = jnp.zeros_like(time_weights)
+    dpw = jnp.zeros_like(pos_weights)
+    if track_ds:
+        ds_bsum = results[3][:, :l, :]  # (B, L, L), summed over heads
+        if use_time:
+            buckets = _bucket(ts[:, 1 : l + 1, None] - ts[:, None, :l], num_buckets)
+            dtw = jax.ops.segment_sum(
+                ds_bsum.reshape(-1), buckets.reshape(-1), num_segments=num_buckets + 1
+            ).astype(time_weights.dtype)
+        if use_pos:
+            positions = jnp.arange(l)
+            rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
+            dpw = jax.ops.segment_sum(
+                ds_bsum.sum(axis=0).reshape(-1),
+                jnp.broadcast_to(rel_idx, (l, l)).reshape(-1),
+                num_segments=2 * l - 1,
+            ).astype(pos_weights.dtype)
+    return dq, dk, dv, dtw, dpw
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def stu_attention(
     q: jnp.ndarray,
@@ -237,14 +456,21 @@ def _stu_fwd(q, k, v, ts, timeline, allowed, time_weights, pos_weights, num_buck
 def _stu_bwd(num_buckets, use_time, use_pos, block_q, interpret, residuals, d_out):
     q, k, v, ts, timeline, allowed, time_weights, pos_weights = residuals
 
-    def forward(q, k, v, time_weights, pos_weights):
-        return _stu_reference(
-            q, k, v, ts, timeline, time_weights, pos_weights, allowed,
-            num_buckets, use_time, use_pos,
+    if q.shape[2] <= MAX_FUSED_BWD_LEN:
+        dq, dk, dv, dtw, dpw = _stu_pallas_bwd(
+            q, k, v, ts, timeline, time_weights, pos_weights, allowed, d_out,
+            num_buckets, use_time, use_pos, block_q, interpret,
         )
+    else:  # VMEM-bound: recompute in XLA (materializes the score tensor)
 
-    _, vjp = jax.vjp(forward, q, k, v, time_weights, pos_weights)
-    dq, dk, dv, dtw, dpw = vjp(d_out)
+        def forward(q, k, v, time_weights, pos_weights):
+            return _stu_reference(
+                q, k, v, ts, timeline, time_weights, pos_weights, allowed,
+                num_buckets, use_time, use_pos,
+            )
+
+        _, vjp = jax.vjp(forward, q, k, v, time_weights, pos_weights)
+        dq, dk, dv, dtw, dpw = vjp(d_out)
     return dq, dk, dv, jnp.zeros_like(ts), jnp.zeros_like(timeline), jnp.zeros_like(allowed), dtw, dpw
 
 

@@ -1,5 +1,8 @@
-"""Fused attention kernel tests: numeric parity with the jnp reference path
-and gradient correctness (interpret mode stands in for TPU on CPU CI)."""
+"""Fused attention kernel tests: numeric parity with the jnp reference path,
+gradient correctness through the Pallas backward kernel, and in-kernel
+dropout (interpret mode stands in for TPU on CPU CI; the counter-based
+dropout mask is bit-identical across backends, so these tests pin TPU
+behavior exactly)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,8 +12,12 @@ import pytest
 from rectools_tpu.ops.attention import (
     _reference_attention,
     dot_product_attention,
+    dropout_keep_mask,
     fused_attention,
 )
+
+SEED = jnp.array([1234], dtype=jnp.int32)
+NO_SEED = jnp.zeros((1,), dtype=jnp.int32)
 
 
 def _inputs(b=2, h=2, l=128, dh=64, bias_b=1, bias_h=1, seed=0):
@@ -27,7 +34,7 @@ class TestFusedAttention:
     def test_forward_matches_reference(self, bias_b, bias_h) -> None:
         q, k, v, bias = _inputs(bias_b=bias_b, bias_h=bias_h)
         scale = 1.0 / np.sqrt(q.shape[-1])
-        got = fused_attention(q, k, v, bias, scale, 64, True)  # interpret mode
+        got = fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True)  # interpret mode
         expected, _ = _reference_attention(q, k, v, bias, scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
@@ -36,24 +43,38 @@ class TestFusedAttention:
         l = q.shape[2]
         causal = jnp.where(jnp.tril(jnp.ones((l, l), bool)), 0.0, -1e9)[None, None]
         scale = 0.125
-        got = fused_attention(q, k, v, causal, scale, 64, True)
+        got = fused_attention(q, k, v, causal, NO_SEED, scale, 0.0, 64, True)
         expected, _ = _reference_attention(q, k, v, causal, scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
     def test_non_divisible_length_blocks(self) -> None:
-        # L=96 with block_q=64 exercises the remainder q block
+        # L=96 with block_q=64 exercises the remainder q block (fwd and bwd)
         q, k, v, bias = _inputs(l=96)
         scale = 0.1
-        got = fused_attention(q, k, v, bias, scale, 64, True)
+        got = fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True)
         expected, _ = _reference_attention(q, k, v, bias, scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
-    def test_gradients_match_reference(self) -> None:
-        q, k, v, bias = _inputs(b=1, h=2, l=64, dh=32)
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True) ** 2)
+
+        def loss_ref(q, k, v):
+            out, _ = _reference_attention(q, k, v, bias, scale)
+            return jnp.sum(out**2)
+
+        for gf, gr in zip(
+            jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v),
+            jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v),
+        ):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
+
+    @pytest.mark.parametrize("bias_b,bias_h", [(1, 1), (2, 1)])
+    def test_gradients_match_reference(self, bias_b, bias_h) -> None:
+        q, k, v, bias = _inputs(b=2, h=2, l=64, dh=32, bias_b=bias_b, bias_h=bias_h)
         scale = 1.0 / np.sqrt(32)
 
         def loss_fused(q, k, v, bias):
-            return jnp.sum(fused_attention(q, k, v, bias, scale, 64, True) ** 2)
+            return jnp.sum(fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True) ** 2)
 
         def loss_ref(q, k, v, bias):
             out, _ = _reference_attention(q, k, v, bias, scale)
@@ -64,12 +85,129 @@ class TestFusedAttention:
         for gf, gr in zip(grads_fused, grads_ref):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
 
+    def test_bias_grad_opt_out_returns_zeros(self) -> None:
+        q, k, v, bias = _inputs(b=1, h=1, l=64, dh=32)
+        scale = 0.2
+
+        def loss(bias):
+            return jnp.sum(fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True, False) ** 2)
+
+        db = jax.grad(loss)(bias)
+        assert float(jnp.abs(db).max()) == 0.0
+
+
+class TestInKernelDropout:
+    def test_mask_statistics_and_determinism(self) -> None:
+        rate = 0.3
+        mask = dropout_keep_mask(SEED, jnp.int32(3), jnp.int32(0), 256, 256, rate)
+        keep_frac = float(mask.mean())
+        assert abs(keep_frac - (1.0 - rate)) < 0.01
+        mask2 = dropout_keep_mask(SEED, jnp.int32(3), jnp.int32(0), 256, 256, rate)
+        assert bool((mask == mask2).all())
+        # different bh rows decorrelate
+        other = dropout_keep_mask(SEED, jnp.int32(4), jnp.int32(0), 256, 256, rate)
+        assert not bool((mask == other).all())
+
+    def test_mask_tiles_agree_with_full_mask(self) -> None:
+        # blockwise regeneration (as the kernels do) must reproduce slices of
+        # the full mask
+        rate = 0.2
+        full = dropout_keep_mask(SEED, jnp.int32(1), jnp.int32(0), 128, 96, rate)
+        tile = dropout_keep_mask(SEED, jnp.int32(1), jnp.int32(64), 64, 96, rate)
+        np.testing.assert_array_equal(np.asarray(full[64:]), np.asarray(tile))
+
+    def test_forward_dropout_matches_reference_bits(self) -> None:
+        q, k, v, bias = _inputs(l=128)
+        scale = 0.125
+        rate = 0.25
+        got = fused_attention(q, k, v, bias, SEED, scale, rate, 64, True)
+        expected, _ = _reference_attention(q, k, v, bias, scale, rate, SEED)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+    def test_dropout_grads_match_reference(self) -> None:
+        q, k, v, bias = _inputs(b=1, h=2, l=96, dh=32)
+        scale = 1.0 / np.sqrt(32)
+        rate = 0.35
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, bias, SEED, scale, rate, 64, True, False) ** 2)
+
+        def loss_ref(q, k, v):
+            out, _ = _reference_attention(q, k, v, bias, scale, rate, SEED)
+            return jnp.sum(out**2)
+
+        grads_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr in zip(grads_fused, grads_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
+
+    def test_dropout_zero_rate_is_exact(self) -> None:
+        q, k, v, bias = _inputs(l=64)
+        out_zero = fused_attention(q, k, v, bias, SEED, 0.2, 0.0, 64, True)
+        out_none = fused_attention(q, k, v, bias, NO_SEED, 0.2, 0.0, 64, True)
+        np.testing.assert_array_equal(np.asarray(out_zero), np.asarray(out_none))
+
+
+class TestDispatch:
     def test_dispatch_layout(self) -> None:
         # (B, L, H, dh) layout entry point; CPU backend -> jnp path
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))
         out = dot_product_attention(q, q, q, None, 0.35, use_fused=False)
         assert out.shape == q.shape
-        # and the forced-fused path agrees
         out_fused = dot_product_attention(q, q, q, None, 0.35, use_fused=None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_fused), atol=1e-5)
+
+    def test_dropout_requires_seed(self) -> None:
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(1, 16, 1, 8)).astype(np.float32))
+        with pytest.raises(ValueError):
+            dot_product_attention(q, q, q, None, 0.35, dropout_rate=0.1)
+
+
+class TestDefaultTrainingPathUsesKernel:
+    """Pin the dispatch: the default training config (dropout_rate=0.2) must
+    route through the fused kernel on TPU — this was regression W1 of round 1
+    (kernel silently bypassed whenever dropout was on)."""
+
+    def test_dot_product_attention_dispatches_fused_with_dropout(self, monkeypatch) -> None:
+        from rectools_tpu.ops import attention as attn_mod
+
+        calls = {}
+
+        def fake_fused(q, k, v, bias, seed, scale, dropout_rate, block_q, interpret, bias_has_grad):
+            calls["dropout_rate"] = dropout_rate
+            calls["seed"] = seed
+            return q
+
+        monkeypatch.setattr(attn_mod, "fused_attention", fake_fused)
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 16, 2, 8)).astype(np.float32))
+        seed = jnp.array([5], jnp.int32)
+        attn_mod.dot_product_attention(
+            q, q, q, None, 0.3, use_fused=True, dropout_rate=0.2, dropout_seed=seed
+        )
+        assert calls["dropout_rate"] == 0.2
+        assert calls["seed"] is seed
+
+    def test_mha_training_passes_dropout_to_kernel(self, monkeypatch) -> None:
+        from rectools_tpu.models.nn.transformers import net_blocks
+
+        calls = {}
+
+        def fake_attention(q, k, v, bias, scale, use_fused=None, dropout_rate=0.0, dropout_seed=None, **kw):
+            calls["dropout_rate"] = dropout_rate
+            calls["has_seed"] = dropout_seed is not None
+            return q
+
+        monkeypatch.setattr(net_blocks, "dot_product_attention", fake_attention)
+        mha = net_blocks.MultiHeadAttention(n_factors=16, n_heads=2, dropout_rate=0.2)
+        x = jnp.ones((2, 8, 16), jnp.float32)
+        params = mha.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                          x, x, x, None, deterministic=False)
+        mha.apply(params, x, x, x, None, False, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert calls["dropout_rate"] == 0.2
+        assert calls["has_seed"]
+        # and inference stays dropout-free
+        mha.apply(params, x, x, x, None, True)
+        assert calls["dropout_rate"] == 0.0

@@ -52,6 +52,40 @@ class TestSTUAttention:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    @pytest.mark.parametrize("use_time,use_pos", [(True, True), (True, False), (False, True), (False, False)])
+    def test_gradients_multihead_all_inputs(self, use_time, use_pos) -> None:
+        # multi-batch multi-head exercises the backward kernel's cross-head
+        # accumulation of the score gradient used for the weight tables
+        q, k, v, ts, tl, tw, pw, allowed = _inputs(b=2, h=2, l=64)
+
+        def loss_fused(q, k, v, tw, pw):
+            return jnp.sum(
+                stu_attention(q, k, v, ts, tl, allowed, tw, pw, 128, use_time, use_pos, 32, True) ** 2
+            )
+
+        def loss_ref(q, k, v, tw, pw):
+            return jnp.sum(_stu_reference(q, k, v, ts, tl, tw, pw, allowed[0], 128, use_time, use_pos) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, tw, pw)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, tw, pw)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
+
+    def test_gradients_padded_q_blocks(self) -> None:
+        # L=80 with block_q=32 pads the backward's q-side arrays to 96 rows
+        q, k, v, ts, tl, tw, pw, allowed = _inputs(b=1, h=2, l=80)
+
+        def loss_fused(q, k, v, tw, pw):
+            return jnp.sum(stu_attention(q, k, v, ts, tl, allowed, tw, pw, 128, True, True, 32, True) ** 2)
+
+        def loss_ref(q, k, v, tw, pw):
+            return jnp.sum(_stu_reference(q, k, v, ts, tl, tw, pw, allowed[0], 128, True, True) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, tw, pw)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, tw, pw)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-4)
+
     def test_second_precision_timestamps(self) -> None:
         # 1-second deltas at unix-epoch magnitude must land in bucket 0/1
         # (f32 timestamps would collapse them — int32 path keeps them exact)
