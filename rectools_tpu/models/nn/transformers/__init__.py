@@ -1,5 +1,6 @@
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import TransformerModelBase, TransformerModelConfig
+from .callbacks import BestStateKeeper, EarlyStopping, TrainingCallback
 from .bert4rec import BERT4RecDataPreparator, BERT4RecModel, BERT4RecModelConfig
 from .constants import MASKING_VALUE, PADDING_VALUE
 from .data_preparator import BatchLoader, SequenceDataset, TransformerDataPreparatorBase
@@ -24,6 +25,9 @@ from .utils import leave_one_out_mask
 
 __all__ = [
     "TransformerBackbone",
+    "TrainingCallback",
+    "EarlyStopping",
+    "BestStateKeeper",
     "TransformerBackboneBase",
     "TransformerModelBase",
     "TransformerModelConfig",

@@ -84,6 +84,17 @@ ValMaskCallableSerialized = tpe.Annotated[
     PlainSerializer(func=get_class_or_function_full_path, return_type=str, when_used="json"),
 ]
 
+# Factory returning fresh training callbacks for each fit — the reference's
+# `get_trainer_func` pattern (its transformers/base.py:367-380): a function,
+# serialized as an import path, so stateful callback instances never leak
+# between fits or into the config.
+CallbacksCallable = Callable[[], tp.Sequence[tp.Any]]
+CallbacksCallableSerialized = tpe.Annotated[
+    CallbacksCallable,
+    BeforeValidator(_get_class_obj),
+    PlainSerializer(func=get_class_or_function_full_path, return_type=str, when_used="json"),
+]
+
 
 class TransformerModelConfig(ModelConfig):
     """Transformer model base config (reference transformers/base.py:189-232)."""
@@ -117,6 +128,7 @@ class TransformerModelConfig(ModelConfig):
     backbone_type: TransformerBackboneType = TransformerBackbone
     get_val_mask_func: tp.Optional[ValMaskCallableSerialized] = None
     get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None
+    get_callbacks_func: tp.Optional[CallbacksCallableSerialized] = None
     data_preparator_kwargs: tp.Optional[InitKwargs] = None
     transformer_layers_kwargs: tp.Optional[InitKwargs] = None
     item_net_constructor_kwargs: tp.Optional[InitKwargs] = None
@@ -169,6 +181,7 @@ class TransformerModelBase(ModelBase[TransformerModelConfig_T]):
         backbone_type: tp.Type[TransformerBackboneBase] = TransformerBackbone,
         get_val_mask_func: tp.Optional[ValMaskCallable] = None,
         get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None,
+        get_callbacks_func: tp.Optional[CallbacksCallable] = None,
         data_preparator_kwargs: tp.Optional[InitKwargs] = None,
         transformer_layers_kwargs: tp.Optional[InitKwargs] = None,
         item_net_constructor_kwargs: tp.Optional[InitKwargs] = None,
@@ -209,6 +222,7 @@ class TransformerModelBase(ModelBase[TransformerModelConfig_T]):
         self.backbone_type = backbone_type
         self.get_val_mask_func = get_val_mask_func
         self.get_val_mask_func_kwargs = get_val_mask_func_kwargs
+        self.get_callbacks_func = get_callbacks_func
         self.data_preparator_kwargs = data_preparator_kwargs
         self.transformer_layers_kwargs = transformer_layers_kwargs
         self.item_net_constructor_kwargs = item_net_constructor_kwargs
@@ -321,8 +335,14 @@ class TransformerModelBase(ModelBase[TransformerModelConfig_T]):
             val_loss_name=self.val_loss_name,
             adam_betas=(0.9, 0.98),
             seed=self.seed,
-            **self._get_kwargs(self.training_module_kwargs),
+            **self._training_module_extra_kwargs(),
         )
+
+    def _training_module_extra_kwargs(self) -> InitKwargs:
+        kwargs = dict(self._get_kwargs(self.training_module_kwargs))
+        if self.get_callbacks_func is not None and "callbacks" not in kwargs:
+            kwargs["callbacks"] = self.get_callbacks_func()  # fresh instances per fit
+        return kwargs
 
     def _build_model_from_dataset(self, dataset: Dataset) -> None:
         self.data_preparator.process_dataset_train(dataset)

@@ -17,6 +17,7 @@ from .base import (
     TransformerDataPreparatorType,
     TransformerModelBase,
     TransformerModelConfig,
+    CallbacksCallable,
     ValMaskCallable,
 )
 from .constants import MASKING_VALUE, PADDING_VALUE
@@ -189,6 +190,7 @@ class BERT4RecModel(TransformerModelBase[BERT4RecModelConfig]):
         backbone_type: tp.Type[TransformerBackboneBase] = TransformerBackbone,
         get_val_mask_func: tp.Optional[ValMaskCallable] = None,
         get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None,
+        get_callbacks_func: tp.Optional[CallbacksCallable] = None,
         recommend_batch_size: tp.Optional[int] = None,
         data_preparator_kwargs: tp.Optional[InitKwargs] = None,
         transformer_layers_kwargs: tp.Optional[InitKwargs] = None,
@@ -231,6 +233,7 @@ class BERT4RecModel(TransformerModelBase[BERT4RecModelConfig]):
             backbone_type=backbone_type,
             get_val_mask_func=get_val_mask_func,
             get_val_mask_func_kwargs=get_val_mask_func_kwargs,
+            get_callbacks_func=get_callbacks_func,
             data_preparator_kwargs=data_preparator_kwargs,
             transformer_layers_kwargs=transformer_layers_kwargs,
             item_net_constructor_kwargs=item_net_constructor_kwargs,

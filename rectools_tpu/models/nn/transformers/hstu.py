@@ -22,6 +22,7 @@ from .base import (
     TransformerLayersType,
     TransformerModelBase,
     TransformerModelConfig,
+    CallbacksCallable,
     ValMaskCallable,
 )
 from .data_preparator import TransformerDataPreparatorBase
@@ -281,6 +282,7 @@ class HSTUModel(TransformerModelBase[HSTUModelConfig]):
         backbone_type: tp.Type[TransformerBackboneBase] = TransformerBackbone,
         get_val_mask_func: tp.Optional[ValMaskCallable] = None,
         get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None,
+        get_callbacks_func: tp.Optional[CallbacksCallable] = None,
         recommend_batch_size: tp.Optional[int] = None,
         data_preparator_kwargs: tp.Optional[InitKwargs] = None,
         transformer_layers_kwargs: tp.Optional[InitKwargs] = None,
@@ -324,6 +326,7 @@ class HSTUModel(TransformerModelBase[HSTUModelConfig]):
             backbone_type=backbone_type,
             get_val_mask_func=get_val_mask_func,
             get_val_mask_func_kwargs=get_val_mask_func_kwargs,
+            get_callbacks_func=get_callbacks_func,
             data_preparator_kwargs=data_preparator_kwargs,
             transformer_layers_kwargs=transformer_layers_kwargs,
             item_net_constructor_kwargs=item_net_constructor_kwargs,

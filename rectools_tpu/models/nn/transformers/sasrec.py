@@ -20,6 +20,7 @@ from .base import (
     TransformerLayersType,
     TransformerModelBase,
     TransformerModelConfig,
+    CallbacksCallable,
     ValMaskCallable,
 )
 from .data_preparator import Batch, SequenceDataset, TransformerDataPreparatorBase, scatter_left_padded
@@ -220,6 +221,7 @@ class SASRecModel(TransformerModelBase[SASRecModelConfig]):
         backbone_type: tp.Type[TransformerBackboneBase] = TransformerBackbone,
         get_val_mask_func: tp.Optional[ValMaskCallable] = None,
         get_val_mask_func_kwargs: tp.Optional[InitKwargs] = None,
+        get_callbacks_func: tp.Optional[CallbacksCallable] = None,
         recommend_batch_size: tp.Optional[int] = None,
         data_preparator_kwargs: tp.Optional[InitKwargs] = None,
         transformer_layers_kwargs: tp.Optional[InitKwargs] = None,
@@ -261,6 +263,7 @@ class SASRecModel(TransformerModelBase[SASRecModelConfig]):
             backbone_type=backbone_type,
             get_val_mask_func=get_val_mask_func,
             get_val_mask_func_kwargs=get_val_mask_func_kwargs,
+            get_callbacks_func=get_callbacks_func,
             data_preparator_kwargs=data_preparator_kwargs,
             transformer_layers_kwargs=transformer_layers_kwargs,
             item_net_constructor_kwargs=item_net_constructor_kwargs,

@@ -104,9 +104,18 @@ class TransformerTrainingModuleBase:
         compute_dtype: str = "float32",
         negatives_on_device: bool = True,
         fused_softmax_chunk: tp.Optional[int] = 2048,
+        callbacks: tp.Optional[tp.Sequence["TrainingCallback"]] = None,
+        val_recall_k: tp.Optional[int] = None,
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
+        # Per-epoch hooks (early stopping, best-state retention, custom
+        # monitors) — the role of the reference's user-supplied Lightning
+        # trainer callbacks (transformers/base.py:367-380 there).
+        self.callbacks: tp.List["TrainingCallback"] = list(callbacks) if callbacks is not None else []
+        # When set, each epoch with a validation loader also computes
+        # val_recall@{k} over the held-out targets for callbacks to monitor.
+        self.val_recall_k = val_recall_k
         # The full-catalog "softmax" loss streams the catalog in
         # `fused_softmax_chunk`-wide item chunks with a running logsumexp
         # instead of materializing the (B, L, n_items) logits tensor
@@ -152,6 +161,7 @@ class TransformerTrainingModuleBase:
         self.global_step = 0
         self.train_loss_history: tp.List[float] = []
         self.val_loss_history: tp.List[float] = []
+        self.val_metric_history: tp.Dict[str, tp.List[float]] = {}
 
     def fit(
         self,
@@ -311,6 +321,28 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         logits = self._batch_logits(params, batch, None, neg_rng=neg_rng)[:, -1:, :]
         return self._loss_fn(logits, batch["y"], batch["yw"])
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _val_recall_step(
+        self, params: Params, batch: tp.Dict[str, jnp.ndarray], k: int
+    ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+        """(hits, n_valid) for recall@k of the held-out val targets: last-
+        position catalog scores, extra tokens masked, padded rows excluded."""
+
+        def score_last(module: tp.Any, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
+            item_embs = module.item_model.embed_catalog(deterministic=True)
+            session_embs = module.encode_sessions(batch, item_embs, deterministic=True)
+            return module.similarity_module._get_full_catalog_logits(session_embs[:, -1:, :], item_embs)
+
+        scores = self.backbone.apply({"params": params}, batch, method=score_last)[:, 0, :]
+        n_extra = len(self.item_extra_tokens)
+        if n_extra:
+            scores = scores.at[:, :n_extra].set(-jnp.inf)
+        _, top = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+        target = batch["y"][:, 0]
+        valid = batch["yw"][:, 0] > 0
+        hits = jnp.any(top == target[:, None], axis=1) & valid
+        return hits.sum(), valid.sum()
+
     @partial(jax.jit, static_argnums=(0,))
     def _encode_last(self, params: Params, batch: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Session-tower output of the last position for each session."""
@@ -432,7 +464,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         dropout_key = jax.random.PRNGKey(self.seed + 1)
         val_neg_key = jax.random.PRNGKey(self.seed + 3)
 
+        for callback in self.callbacks:
+            callback.on_train_start(self)
+
+        stop_requested = False
         for _ in range(max_epochs):
+            logs: tp.Dict[str, float] = {}
             epoch_losses = []
             for batch in train_loader:
                 batch = pad_batch(batch, train_loader.batch_size)
@@ -445,8 +482,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 epoch_losses.append(loss)
             if epoch_losses:
                 self.train_loss_history.append(float(jnp.mean(jnp.stack(epoch_losses))))
+                logs[self.train_loss_name] = self.train_loss_history[-1]
             if val_loader is not None:
                 val_losses = []
+                recall_hits = recall_total = 0.0
                 for vi, batch in enumerate(val_loader):
                     batch = pad_batch(batch, val_loader.batch_size)
                     device_batch = self._device_batch(batch)
@@ -456,15 +495,34 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                         else None
                     )
                     val_losses.append(self._val_step(self.params, device_batch, neg_rng))
+                    if self.val_recall_k is not None:
+                        hits, total = self._val_recall_step(self.params, device_batch, self.val_recall_k)
+                        recall_hits += float(hits)
+                        recall_total += float(total)
                 if val_losses:
                     self.val_loss_history.append(float(jnp.mean(jnp.stack(val_losses))))
+                    logs[self.val_loss_name] = self.val_loss_history[-1]
+                if self.val_recall_k is not None and recall_total > 0:
+                    name = f"val_recall@{self.val_recall_k}"
+                    value = recall_hits / recall_total
+                    self.val_metric_history.setdefault(name, []).append(value)
+                    logs[name] = value
             self.epochs_completed += 1
             if self.verbose > 0:
-                msg = f"epoch {self.epochs_completed}: {self.train_loss_name}={self.train_loss_history[-1]:.5f}"
-                if val_loader is not None and self.val_loss_history:
-                    msg += f" {self.val_loss_name}={self.val_loss_history[-1]:.5f}"
-                print(msg)
+                print(
+                    f"epoch {self.epochs_completed}: "
+                    + " ".join(f"{name}={value:.5f}" for name, value in logs.items())
+                )
+            for callback in self.callbacks:
+                # evaluate every callback (no short-circuit): stateful hooks
+                # like best-state keepers must see every epoch
+                if callback.on_epoch_end(self, self.epochs_completed, logs):
+                    stop_requested = True
+            if stop_requested:
+                break
 
+        for callback in self.callbacks:
+            callback.on_train_end(self)
         self.is_fitted = True
 
     # --------------------------------------------------------------- inference
@@ -540,6 +598,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             "global_step": self.global_step,
             "train_loss_history": list(self.train_loss_history),
             "val_loss_history": list(self.val_loss_history),
+            "val_metric_history": {name: list(vals) for name, vals in self.val_metric_history.items()},
             "is_fitted": self.is_fitted,
         }
 
@@ -556,4 +615,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         self.global_step = state["global_step"]
         self.train_loss_history = list(state["train_loss_history"])
         self.val_loss_history = list(state["val_loss_history"])
+        self.val_metric_history = {
+            name: list(vals) for name, vals in state.get("val_metric_history", {}).items()
+        }
         self.is_fitted = state["is_fitted"]
