@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -14,6 +15,7 @@ __all__ = [
     "MODEL_AXIS",
     "data_sharded",
     "default_mesh",
+    "distributed",
     "make_mesh",
     "model_sharded",
     "pad_to_multiple",
