@@ -1,9 +1,11 @@
 """Headline benchmark: SASRec training throughput (examples/s/chip).
 
-Workload mirrors BASELINE.json's "SASRec n_factors=64" config at ML-1M catalog
-scale: batch 128, session length 100, full-catalog softmax loss (the
-reference's default and its compute-dominant path, O(B*L*n_items*d) logits —
-rectools/models/nn/transformers/similarity.py:84-86).
+Workload mirrors BASELINE.json's KION serving/training scale: batch 512,
+session length 100, d=128, 15,872-item catalog (KION has 15,706 items), and
+the DEFAULT user config's dropout_rate=0.2 — so the measured path is the
+fused-attention in-kernel-dropout kernel plus the chunked-logsumexp
+full-catalog softmax loss (the reference's default and its compute-dominant
+path, O(B*L*n_items*d) logits — rectools/models/nn/transformers/similarity.py:84-86).
 
 ``vs_baseline`` is measured in-process against an equivalent torch CPU train
 step (the reference's execution substrate for users without CUDA; RecTools
@@ -17,9 +19,10 @@ import time
 
 import numpy as np
 
-B, L, D, N_ITEMS, HEADS, BLOCKS = 128, 100, 64, 3708, 4, 2
-WARMUP_STEPS, BENCH_STEPS = 3, 100
-TORCH_BENCH_STEPS = 20
+B, L, D, N_ITEMS, HEADS, BLOCKS = 512, 100, 128, 15872, 4, 2
+DROPOUT = 0.2
+WARMUP_STEPS, BENCH_STEPS = 3, 50
+TORCH_BENCH_STEPS = 5
 
 
 def bench_jax() -> float:
@@ -31,29 +34,37 @@ def bench_jax() -> float:
     from __graft_entry__ import _build_flagship
     from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
 
-    backbone = _build_flagship(n_items=N_ITEMS, session_max_len=L, n_factors=D, n_heads=HEADS, n_blocks=BLOCKS)
+    backbone = _build_flagship(
+        n_items=N_ITEMS, session_max_len=L, n_factors=D, n_heads=HEADS, n_blocks=BLOCKS,
+        dropout_rate=DROPOUT,
+    )
     rng = np.random.default_rng(0)
     batch = {
         "x": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
         "y": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
         "yw": jnp.ones((B, L), jnp.float32),
     }
-    params = backbone.init(jax.random.PRNGKey(0), {"x": batch["x"]}, deterministic=True)["params"]
+    params = backbone.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {"x": batch["x"]},
+        deterministic=False,
+    )["params"]
     tx = optax.adam(1e-3, b1=0.9, b2=0.98)
     opt_state = tx.init(params)
 
     def towers(module, batch):
-        item_embs = module.item_model.embed_catalog(deterministic=True)
-        session_embs = module.encode_sessions(batch, item_embs, deterministic=True)
+        item_embs = module.item_model.embed_catalog(deterministic=False)
+        session_embs = module.encode_sessions(batch, item_embs, deterministic=False)
         return session_embs, item_embs
 
-    def step(carry, _):
+    def step(carry, step_idx):
         params, opt_state = carry
 
         def loss_of(p):
             # the framework's default softmax path: chunked logsumexp over the
             # catalog, logits never materialized (training.py fused_softmax_chunk)
-            s_t, i_t = backbone.apply({"params": p}, batch, method=towers)
+            rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), step_idx)}
+            s_t, i_t = backbone.apply({"params": p}, batch, method=towers, rngs=rngs)
             return fused_softmax_loss(s_t, i_t, batch["y"], batch["yw"], chunk=2048)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -68,7 +79,7 @@ def bench_jax() -> float:
     @partial(jax.jit, donate_argnums=(0, 1))
     def multi_step(params, opt_state):
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=BENCH_STEPS
+            step, (params, opt_state), jnp.arange(BENCH_STEPS)
         )
         return params, opt_state, losses[-1]
 
@@ -91,7 +102,7 @@ def bench_torch_cpu(max_seconds: float = 60.0) -> float:
     class Block(torch.nn.Module):
         def __init__(self) -> None:
             super().__init__()
-            self.mha = torch.nn.MultiheadAttention(D, HEADS, 0.0, batch_first=True)
+            self.mha = torch.nn.MultiheadAttention(D, HEADS, DROPOUT, batch_first=True)
             self.ln1 = torch.nn.LayerNorm(D)
             self.ln2 = torch.nn.LayerNorm(D)
             self.ff1 = torch.nn.Linear(D, D)

@@ -105,3 +105,56 @@ class TestApproximateMode:
         assert list(restored.get_item_list_for_item(0, top_n=5)) == list(
             rec.get_item_list_for_item(0, top_n=5)
         )
+
+
+class TestDistancesAndTuning:
+    def test_dot_distance_matches_brute_force(self) -> None:
+        user_vectors, item_vectors, user_id_map, item_id_map = _vectors()
+        from rectools_tpu.models import Distance
+
+        rec = UserToItemAnnRecommender(
+            user_vectors, item_vectors, user_id_map, item_id_map, distance=Distance.DOT
+        ).fit()
+        got = rec.get_item_list_for_user("u2", top_n=5)
+        expected = list(np.argsort(-(item_vectors @ user_vectors[2]))[:5])
+        np.testing.assert_array_equal(got, item_id_map.convert_to_external(expected))
+
+    def test_recall_target_roundtrips_through_pickle(self) -> None:
+        user_vectors, item_vectors, user_id_map, item_id_map = _vectors()
+        rec = UserToItemAnnRecommender(
+            user_vectors, item_vectors, user_id_map, item_id_map,
+            approximate=True, recall_target=0.85,
+        ).fit()
+        restored = pickle.loads(pickle.dumps(rec))
+        assert restored.approximate and restored.recall_target == 0.85
+        # engine is rebuilt lazily with the restored tuning
+        restored.get_item_list_for_user("u0", top_n=3)
+        assert restored._engine.recall_target == 0.85
+
+    def test_i2i_excludes_self_even_with_overfetch(self) -> None:
+        _, item_vectors, _, item_id_map = _vectors()
+        rec = ItemToItemAnnRecommender(item_vectors, item_id_map, index_top_k=10).fit()
+        for item in ("i0", "i5", "i19"):
+            got = rec.get_item_list_for_item(item, top_n=6)
+            assert item not in got
+            assert len(got) == 6
+
+    def test_i2i_whitelist_with_self_in_whitelist(self) -> None:
+        _, item_vectors, _, item_id_map = _vectors()
+        rec = ItemToItemAnnRecommender(item_vectors, item_id_map, index_top_k=20).fit()
+        allowed = ["i0", "i1", "i2", "i3"]
+        got = rec.get_item_list_for_item_batch(["i0"], top_n=3, item_available_ids=[allowed])
+        # self is dropped even when whitelisted
+        assert "i0" not in got[0]
+        assert set(got[0]) <= set(allowed) - {"i0"}
+
+    def test_dict_id_maps_accepted(self) -> None:
+        user_vectors, item_vectors, *_ = _vectors()
+        rec = UserToItemAnnRecommender(
+            user_vectors,
+            item_vectors,
+            {f"u{i}": i for i in range(10)},
+            {f"i{i}": i for i in range(20)},
+        ).fit()
+        got = rec.get_item_list_for_user("u1", top_n=4)
+        assert len(got) == 4

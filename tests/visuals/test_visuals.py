@@ -115,3 +115,70 @@ class TestMetricsApp:
         with pytest.raises(ValueError):  # non-numeric metric
             bad = self.METRICS.assign(text_metric="x")
             MetricsApp.construct(bad, auto_display=False)
+
+
+class TestAppDataStorageMore:
+    def test_reco_dict_input(self) -> None:
+        tables = {
+            "m1": RECO_U2I[RECO_U2I[Columns.Model] == "m1"].drop(columns=[Columns.Model]),
+            "m2": RECO_U2I[RECO_U2I[Columns.Model] == "m2"].drop(columns=[Columns.Model]),
+        }
+        storage = AppDataStorage.from_raw(
+            reco=tables, item_data=ITEM_DATA, interactions=INTERACTIONS, selected_requests={"a": 1}
+        )
+        assert set(storage.model_names) == {"m1", "m2"}
+
+    def test_missing_reco_columns_raise(self) -> None:
+        with pytest.raises(KeyError):
+            AppDataStorage.from_raw(
+                reco=RECO_U2I.drop(columns=[Columns.Item]),
+                item_data=ITEM_DATA,
+                interactions=INTERACTIONS,
+                selected_requests={"a": 1},
+            )
+        with pytest.raises(KeyError):  # item_data must carry the item column
+            AppDataStorage.from_raw(
+                reco=RECO_U2I,
+                item_data=ITEM_DATA.drop(columns=[Columns.Item]),
+                interactions=INTERACTIONS,
+                selected_requests={"a": 1},
+            )
+
+    def test_i2i_rejects_interactions(self) -> None:
+        reco = RECO_U2I.rename(columns={Columns.User: Columns.TargetItem})
+        with pytest.raises(ValueError):
+            AppDataStorage.from_raw(
+                reco=reco, item_data=ITEM_DATA, is_u2i=False,
+                interactions=INTERACTIONS, selected_requests={"a": 1},
+            )
+
+    def test_random_requests_skip_explicit_selection(self) -> None:
+        storage = AppDataStorage.from_raw(
+            reco=RECO_U2I, item_data=ITEM_DATA, interactions=INTERACTIONS,
+            selected_requests={"picked": 1}, n_random_requests=1,
+        )
+        assert storage.request_names[0] == "picked"
+        (random_name,) = [n for n in storage.request_names if n != "picked"]
+        assert storage.selected_requests[random_name] != 1  # only user 2 remains
+
+    def test_save_refuses_overwrite_by_default(self, tmp_path) -> None:
+        storage = AppDataStorage.from_raw(
+            reco=RECO_U2I, item_data=ITEM_DATA, interactions=INTERACTIONS, selected_requests={"a": 1}
+        )
+        folder = str(tmp_path / "store")
+        storage.save(folder)
+        with pytest.raises(FileExistsError):
+            storage.save(folder)
+        storage.save(folder, overwrite=True)  # explicit overwrite allowed
+
+    def test_i2i_save_load_round_trip(self, tmp_path) -> None:
+        reco = RECO_U2I.rename(columns={Columns.User: Columns.TargetItem})
+        storage = AppDataStorage.from_raw(
+            reco=reco, item_data=ITEM_DATA, is_u2i=False, selected_requests={"t": 1}
+        )
+        folder = str(tmp_path / "i2i_store")
+        storage.save(folder)
+        restored = AppDataStorage.load(folder)
+        assert not restored.is_u2i
+        assert restored.id_col == Columns.TargetItem
+        assert restored.selected_requests == {"t": 1}
