@@ -63,6 +63,27 @@ def main() -> None:
     context = pd.DataFrame({Columns.User: [0, 1], Columns.Datetime: pd.Timestamp("2024-03-01")})
     print(hstu.recommend(users=[0, 1], dataset=dataset, k=5, filter_viewed=True, context=context).head())
 
+    # --- early stopping + best-epoch weights + val recall monitoring:
+    # callbacks come from a factory (fresh instances per fit) and monitor the
+    # per-epoch logs; val_recall@10 is computed on the held-out targets
+    from rectools_tpu.models.nn.transformers import BestStateKeeper, EarlyStopping
+
+    def make_callbacks():
+        return [
+            EarlyStopping(monitor="val_recall@10", patience=2, mode="max"),
+            BestStateKeeper(monitor="val_recall@10", mode="max"),
+        ]
+
+    tuned = SASRecModel(
+        n_blocks=1, n_heads=2, n_factors=32, session_max_len=20, epochs=20, seed=0,
+        get_val_mask_func=leave_one_out_mask,
+        get_callbacks_func=make_callbacks,
+        training_module_kwargs={"val_recall_k": 10},
+    )
+    tuned.fit(dataset)
+    print("epochs actually run:", tuned.training_module.epochs_completed)
+    print("val recall history:", tuned.training_module.val_metric_history)
+
     # --- multi-device data/model-parallel training: shard the batch over 4
     # devices and the embedding feature dim over 2 (requires 8 devices; on a
     # CPU host export XLA_FLAGS=--xla_force_host_platform_device_count=8)
