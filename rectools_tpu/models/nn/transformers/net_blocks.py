@@ -10,6 +10,7 @@ NaN under a boolean key-padding mask).
 """
 
 import typing as tp
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,10 @@ from flax import linen as nn
 from ....ops.attention import dot_product_attention
 
 MASK_VALUE = -1e9  # additive attention-bias "minus infinity"
+
+# exact (erf) GELU — the reference's torch.nn.GELU default; flax's default is
+# the tanh approximation, which drifts ~4e-3 on logits
+_exact_gelu = partial(nn.gelu, approximate=False)
 
 
 class MultiHeadAttention(nn.Module):
@@ -110,7 +115,7 @@ def init_feed_forward(
         return SwigluFeedForward(n_factors, n_factors * ff_factors_multiplier, dropout_rate, use_bias, name=name)
     if ff_activation == "gelu":
         return PointWiseFeedForward(
-            n_factors, n_factors * ff_factors_multiplier, dropout_rate, nn.gelu, use_bias, name=name
+            n_factors, n_factors * ff_factors_multiplier, dropout_rate, _exact_gelu, use_bias, name=name
         )
     if ff_activation == "relu":
         return PointWiseFeedForward(
@@ -161,7 +166,7 @@ class PreLNTransformerLayer(nn.Module):
         seqs = seqs + nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
         ff_input = nn.LayerNorm(name="layer_norm_2")(seqs)
         ff_output = PointWiseFeedForward(
-            self.n_factors, self.n_factors * self.ff_factors_multiplier, self.dropout_rate, nn.gelu,
+            self.n_factors, self.n_factors * self.ff_factors_multiplier, self.dropout_rate, _exact_gelu,
             name="feed_forward",
         )(ff_input, deterministic)
         seqs = seqs + nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(ff_output)

@@ -37,6 +37,29 @@ def _import_reference():
         loaded_typeguard.TypeCheckError = shim.TypeCheckError
         loaded_typeguard.check_type = shim.check_type
 
+    # pandas>=3 rejects tuples/lists in pd.unique; the reference passes its
+    # extra-token tuples there. Coerce sequence inputs the way pandas<3 did —
+    # semantics otherwise untouched.
+    import numpy as np
+    import pandas as pd
+
+    if not getattr(pd.unique, "_parity_coercion", False):
+        original_unique = pd.unique
+
+        def unique_compat(values):
+            if isinstance(values, (tuple, list)):
+                as_array = np.asarray(values)
+                if as_array.dtype.kind not in "iufb":
+                    # pandas<3 kept non-numeric python sequences as object
+                    # arrays — crucial for "PAD"-token id maps that later
+                    # append integer ids
+                    as_array = np.array(values, dtype=object)
+                values = as_array
+            return original_unique(values)
+
+        unique_compat._parity_coercion = True
+        pd.unique = unique_compat
+
     import rectools  # noqa: F401
     import rectools.models  # noqa: F401
 
