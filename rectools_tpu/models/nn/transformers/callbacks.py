@@ -78,20 +78,42 @@ class _MonitorMixin:
 
 
 class EarlyStopping(TrainingCallback, _MonitorMixin):
-    """Stop when the monitored metric hasn't improved for `patience` epochs."""
+    """Stop when the monitored metric hasn't improved for `patience` epochs.
 
-    def __init__(self, monitor: str = "val_loss", patience: int = 1, min_delta: float = 0.0, mode: str = "min"):
+    ``warmup_epochs`` delays monitoring: recommendation metrics routinely DIP
+    for the first few epochs while embeddings leave their random init (the
+    model predicts popularity before it predicts taste), and a small patience
+    fires inside that dip. Measured on the ML-1M-scale quality gate: SASRec's
+    val recall@10 declines until ~epoch 5, then climbs 4x over 60 epochs.
+    """
+
+    def __init__(
+        self,
+        monitor: str = "val_loss",
+        patience: int = 1,
+        min_delta: float = 0.0,
+        mode: str = "min",
+        warmup_epochs: int = 0,
+    ):
         self._init_monitor(monitor, mode, min_delta)
         self.patience = patience
+        self.warmup_epochs = warmup_epochs
         self.wait = 0
+        self._epochs_seen = 0
         self.stopped_epoch: tp.Optional[int] = None
 
     def on_train_start(self, module: "TransformerTrainingModule") -> None:
         self.wait = 0
+        self._epochs_seen = 0
 
     def on_epoch_end(self, module: "TransformerTrainingModule", epoch: int, logs: tp.Dict[str, float]) -> bool:
         value = self._metric(logs)
         if value is None:
+            return False
+        self._epochs_seen += 1
+        if self._epochs_seen <= self.warmup_epochs:
+            if self._improved(value):
+                self.best_value = value
             return False
         if self._improved(value):
             self.best_value = value

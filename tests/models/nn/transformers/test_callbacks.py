@@ -169,3 +169,30 @@ class TestBestStateKeeper:
         assert keeper.best_epoch == 1
         reco = model.recommend([10, 20], DATASET, k=3, filter_viewed=False)
         assert len(reco) > 0
+
+
+class TestEarlyStoppingWarmup:
+    def test_warmup_suppresses_initial_dip(self) -> None:
+        # dips for 3 epochs then climbs — the recommender cold-start pattern
+        values = iter([0.10, 0.09, 0.08, 0.12, 0.15, 0.18, 0.18, 0.18, 0.18])
+
+        class Scripted(TrainingCallback):
+            def on_epoch_end(self, module, epoch, logs):
+                logs["metric"] = next(values)
+                return False
+
+        no_warmup = EarlyStopping(monitor="metric", patience=2, mode="max")
+        model = _fit_with([Scripted(), no_warmup], epochs=9)
+        assert model.training_module.epochs_completed == 3  # fired inside the dip
+
+        values2 = iter([0.10, 0.09, 0.08, 0.12, 0.15, 0.18, 0.18, 0.18, 0.18])
+
+        class Scripted2(TrainingCallback):
+            def on_epoch_end(self, module, epoch, logs):
+                logs["metric"] = next(values2)
+                return False
+
+        warm = EarlyStopping(monitor="metric", patience=2, mode="max", warmup_epochs=4)
+        model = _fit_with([Scripted2(), warm], epochs=9)
+        # monitoring starts after epoch 4: improvements at 5,6 then 2 flat -> stop at 8
+        assert model.training_module.epochs_completed == 8
