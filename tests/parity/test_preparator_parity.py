@@ -144,3 +144,44 @@ class TestTrainCollationParity:
             tpu_x.append(np.asarray(batch["x"]))
         tpu_x = np.concatenate(tpu_x, axis=0)
         np.testing.assert_array_equal(ref_x, tpu_x)
+
+
+class TestBert4RecCollationParity:
+    def test_recommend_collation_appends_mask(self, interactions) -> None:
+        from rectools.dataset import Dataset as RefDataset
+        from rectools.models.nn.transformers.bert4rec import BERT4RecDataPreparator as RefPrep
+
+        from rectools_tpu.dataset import Dataset
+        from rectools_tpu.models.nn.transformers.bert4rec import BERT4RecDataPreparator
+
+        ref_prep = RefPrep(
+            session_max_len=SESSION_LEN, batch_size=16, dataloader_num_workers=0, shuffle_train=False,
+            mask_prob=0.15, n_negatives=None, train_min_user_interactions=2,
+        )
+        ref_prep.process_dataset_train(RefDataset.construct(interactions))
+        tpu_prep = BERT4RecDataPreparator(
+            session_max_len=SESSION_LEN, batch_size=16, dataloader_num_workers=0, shuffle_train=False,
+            mask_prob=0.15,
+        )
+        tpu_prep.process_dataset_train(Dataset.construct(interactions))
+
+        # id maps agree (PAD, MASK first)
+        assert list(ref_prep.train_dataset.item_id_map.external_ids) == list(
+            tpu_prep.train_dataset.item_id_map.external_ids
+        )
+
+        ref_ds = RefDataset.construct(interactions)
+        tpu_ds = Dataset.construct(interactions)
+        users = interactions["user_id"].unique()
+        ref_rec = ref_prep.transform_dataset_u2i(ref_ds, users)
+        tpu_rec = tpu_prep.transform_dataset_u2i(tpu_ds, users, None)
+
+        ref_x = np.concatenate(
+            [np.asarray(b["x"] if isinstance(b, dict) else b[0]) for b in ref_prep.get_dataloader_recommend(ref_rec, 16)],
+            axis=0,
+        )
+        tpu_x = np.concatenate(
+            [np.asarray(b["x"]) for b in tpu_prep.get_dataloader_recommend(tpu_rec, 16)], axis=0
+        )
+        # identical windows: right-truncated history + MASK appended last
+        np.testing.assert_array_equal(ref_x, tpu_x)
