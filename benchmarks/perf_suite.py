@@ -7,7 +7,7 @@ Covers what BASELINE.json demands beyond the single headline number:
   large config (20.5k items, d=256, L=200) — all with the DEFAULT user
   config's dropout_rate=0.2 active, i.e. the fused-attention
   in-kernel-dropout path users actually hit;
-* FLOPs from XLA's own cost model (compiled cost_analysis), MFU against both
+* analytic FLOP accounting (XLA cost_analysis counts scan bodies once), MFU against both
   bf16 and f32 MXU peaks;
 * bf16 selective-cast experiment (matmuls bf16, loss f32) vs f32 at KION
   scale — closes ARCHITECTURE.md's open item with numbers;
@@ -49,7 +49,7 @@ def log(msg: str) -> None:
 TRAIN_CONFIGS = {
     "toy_ml1m": dict(B=128, L=100, D=64, N=3708, heads=4, blocks=2),
     "kion": dict(B=512, L=100, D=128, N=15872, heads=4, blocks=2),
-    "ml20m_large": dict(B=512, L=200, D=256, N=20480, heads=8, blocks=2),
+    "ml20m_large": dict(B=256, L=200, D=256, N=20480, heads=8, blocks=2),  # B=512 OOMs 16GB HBM (B*L x chunk logit tiles)
 }
 STEPS = 30
 
@@ -116,10 +116,16 @@ def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32"):
     import jax
 
     multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype)
-    lowered = multi_step.lower(params, opt_state)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    flops_total = float(cost.get("flops", float("nan"))) if cost else float("nan")
+    # Analytic FLOPs (XLA's cost_analysis counts lax.scan bodies once, not
+    # once per iteration, so it is useless for a scanned train step):
+    # fwd+bwd ~ 3x forward; forward = catalog logits (2*B*L*N*D) + per-block
+    # projections/FFN (12*B*L*D^2) and attention score/value matmuls
+    # (4*B*L^2*D).
+    b_sz, l_sz, d_sz, n_sz = cfg["B"], cfg["L"], cfg["D"], cfg["N"]
+    fwd_flops = 2.0 * b_sz * l_sz * n_sz * d_sz + cfg["blocks"] * (
+        12.0 * b_sz * l_sz * d_sz**2 + 4.0 * b_sz * l_sz**2 * d_sz
+    )
+    flops_per_step = 3.0 * fwd_flops
 
     for _ in range(2):
         params, opt_state, loss = multi_step(params, opt_state)
@@ -132,15 +138,14 @@ def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32"):
     from rectools_tpu.utils.profiling import device_peaks
 
     peak_bf16, peak_f32, _ = device_peaks()
-    flops_per_step = flops_total / STEPS
     achieved = flops_per_step * STEPS / dt
     return {
         "examples_per_s": round(cfg["B"] * STEPS / dt, 1),
         "step_ms": round(dt / STEPS * 1e3, 3),
-        "flops_per_step": None if np.isnan(flops_per_step) else float(f"{flops_per_step:.4g}"),
-        "achieved_tflops": None if np.isnan(achieved) else round(achieved / 1e12, 2),
-        "mfu_vs_bf16_peak": None if np.isnan(achieved) else round(achieved / peak_bf16, 4),
-        "mfu_vs_f32_peak": None if np.isnan(achieved) else round(achieved / peak_f32, 4),
+        "flops_per_step": float(f"{flops_per_step:.4g}"),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved / peak_bf16, 4),
+        "mfu_vs_f32_peak": round(achieved / peak_f32, 4),
         "final_loss": round(final, 4),
     }
 

@@ -13,12 +13,15 @@ import typing as tp
 import jax
 
 # (peak_flops_bf16, peak_flops_f32, hbm_bytes_per_s) by device kind substring.
-# Public figures: v4 275/137.5 TFLOPs 1.2TB/s; v5e 394/197 TFLOPs 0.82TB/s;
-# v5p 459/229.5 TFLOPs 2.77TB/s.
+# Public bf16 MXU peaks: v4 275 TFLOP/s @ 1.2 TB/s; v5e 197 TFLOP/s @
+# 0.82 TB/s (the oft-quoted 394 is the int8 figure); v5p 459 TFLOP/s @
+# 2.77 TB/s; v6e 918 TFLOP/s @ 1.64 TB/s. "f32" rows are the effective
+# highest-precision matmul rate (~half of bf16 — f32 runs as multi-pass
+# bf16 on the MXU).
 _DEVICE_PEAKS: tp.Dict[str, tp.Tuple[float, float, float]] = {
     "v4": (275e12, 137.5e12, 1.2e12),
-    "v5 lite": (394e12, 197e12, 0.82e12),
-    "v5e": (394e12, 197e12, 0.82e12),
+    "v5 lite": (197e12, 98.5e12, 0.82e12),
+    "v5e": (197e12, 98.5e12, 0.82e12),
     "v5p": (459e12, 229.5e12, 2.77e12),
     "v6": (918e12, 459e12, 1.64e12),
     "cpu": (1e12, 5e11, 1e11),  # rough host figures so reports stay readable
