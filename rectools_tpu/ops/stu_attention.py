@@ -10,8 +10,10 @@ time-delta buckets and the Toeplitz positional bias on the fly from the
 (B, L+2) timestamp row and the two small weight vectors, so neither the score
 matrix nor the bias matrix ever exists in HBM.
 
-Bucket-table lookups run as one-hot matmuls — gathers from tiny tables are
-MXU-friendly one-hots on TPU, not scatter/gather ops.
+Bucket-table lookups run as masked-accumulate loops over the tiny weight
+tables (VPU compare+add per bucket); the Toeplitz positional bias is
+batch/head-independent and arrives precomputed from XLA — so the kernel's
+VMEM footprint stays O(block_q * L) and session length is a config knob.
 
 Backward is a second Pallas kernel (one program per batch*head row): it
 recomputes the (block_q, L) score tiles in VMEM — time buckets via a
@@ -58,7 +60,7 @@ def _stu_kernel(
     tl_k_ref,  # (1, 1, L) timeline mask
     allowed_ref,  # (1, block_q, L) multiplicative attention mask (0/1)
     tw_ref,  # (1, nb + 1) time weights
-    pw_ref,  # (1, 2L - 1) pos weights
+    pos_bias_ref,  # (1, block_q, L) precomputed Toeplitz positional bias
     out_ref,  # (1, block_q, lh)
     *,
     l_total: int,
@@ -67,7 +69,6 @@ def _stu_kernel(
     use_time: bool,
     use_pos: bool,
 ):
-    qi = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -75,33 +76,28 @@ def _stu_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, L)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, l_total), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, l_total), 1)
-
     if use_time:
         # reference (hstu.py:88-103): bias[q, k] = w[bucket(t[q + 1] - t[k])]
-        # over the extended (target-time-appended) timestamp row
+        # over the extended (target-time-appended) timestamp row. The lookup
+        # runs as a masked-accumulate loop over the tiny bucket table — a
+        # one-hot matmul would park a (block_q*L, nb) one-hot in VMEM, which
+        # caps the kernel at short sessions.
         t_q = ts_q_ref[0, 0]
         t_k = ts_k_ref[0, 0]
         buckets = _bucket(t_q[:, None] - t_k[None, :], num_buckets)
-        onehot = jax.nn.one_hot(buckets, num_buckets + 1, dtype=jnp.float32)
-        s = s + jax.lax.dot_general(
-            onehot.reshape(block_q * l_total, num_buckets + 1),
-            tw_ref[0][:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(block_q, l_total)
+        nbp = num_buckets + 1
+
+        def tw_body(j, acc):
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, nbp), 1) == j).astype(jnp.float32)
+            w_j = jnp.sum(tw_ref[...] * sel)
+            return acc + w_j * (buckets == j).astype(jnp.float32)
+
+        s = s + jax.lax.fori_loop(0, nbp, tw_body, jnp.zeros((block_q, l_total), jnp.float32))
 
     if use_pos:
-        # Toeplitz positional bias: w[k - q + L - 1] (reference hstu.py:116-128)
-        rel_idx = jnp.clip(k_pos - q_pos + l_total - 1, 0, 2 * l_total - 2)
-        onehot = jax.nn.one_hot(rel_idx, 2 * l_total - 1, dtype=jnp.float32)
-        s = s + jax.lax.dot_general(
-            onehot.reshape(block_q * l_total, 2 * l_total - 1),
-            pw_ref[0][:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(block_q, l_total)
+        # Toeplitz positional bias w[k - q + L - 1] (reference hstu.py:116-128)
+        # is batch/head-independent: it arrives precomputed per q-block
+        s = s + pos_bias_ref[0]
 
     a = jax.nn.silu(s) / l_total
 
@@ -138,7 +134,6 @@ def _stu_pallas(
     k3 = k.reshape(bh, l, ad)
     v3 = v.reshape(bh, l, lh)
     tw = time_weights.reshape(1, -1).astype(jnp.float32)
-    pw = pos_weights.reshape(1, -1).astype(jnp.float32)
     # pad L up to a block_q multiple so q-window blocks tile evenly
     l_padded = n_q * block_q
     ts_q = ts[:, 1 : l + 1]
@@ -152,6 +147,17 @@ def _stu_pallas(
         tl_q = jnp.pad(timeline, ((0, 0), (0, l_padded - l)))
     tl_q3 = tl_q[:, None, :]
     tl_k3 = timeline[:, None, :]
+    # batch/head-independent Toeplitz bias, materialized once in XLA and
+    # streamed into the kernel per q-block (zeros when pos bias is off)
+    if use_pos:
+        positions = jnp.arange(l)
+        rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
+        pos_bias = pos_weights[rel_idx].astype(jnp.float32)
+    else:
+        pos_bias = jnp.zeros((l, l), jnp.float32)
+    if l_padded > l:
+        pos_bias = jnp.pad(pos_bias, ((0, l_padded - l), (0, 0)))
+    pos_bias3 = pos_bias[None]
 
     out = pl.pallas_call(
         partial(
@@ -173,12 +179,12 @@ def _stu_pallas(
             pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
             pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
             pl.BlockSpec((1, tw.shape[1]), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, pw.shape[1]), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, lh), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, l, lh), q.dtype),
         interpret=interpret,
-    )(q3, k3, v3, ts_q3, ts_k3, tl_q3, tl_k3, allowed.astype(jnp.float32), tw, pw)
+    )(q3, k3, v3, ts_q3, ts_k3, tl_q3, tl_k3, allowed.astype(jnp.float32), tw, pos_bias3)
     return out.reshape(b, h, l, lh)
 
 
