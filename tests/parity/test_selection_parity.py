@@ -116,3 +116,45 @@ class TestCrossValidateParity:
         tpu_splits = pd.DataFrame(tpu_out["splits"])
         for col in ("train", "test", "train_users", "test_users"):
             np.testing.assert_array_equal(ref_splits[col], tpu_splits[col])
+
+
+class TestCrossValidateRefModels:
+    def test_intersection_metrics_match(self, interactions) -> None:
+        import rectools.metrics as ref_m
+        from rectools.dataset import Dataset as RefDataset
+        from rectools.model_selection import TimeRangeSplitter as RefSplitter, cross_validate as ref_cv
+        from rectools.models import EASEModel as RefEASE, PopularModel as RefPopular
+
+        import rectools_tpu.metrics as tpu_m
+        from rectools_tpu.dataset import Dataset
+        from rectools_tpu.model_selection import TimeRangeSplitter, cross_validate
+        from rectools_tpu.models import EASEModel, PopularModel
+
+        ref_out = ref_cv(
+            dataset=RefDataset.construct(interactions),
+            splitter=RefSplitter("2D", n_splits=2),
+            models={"popular": RefPopular(), "ease": RefEASE(regularization=50.0)},
+            metrics={"vs_popular@10": ref_m.Intersection(k=10)},
+            k=10,
+            filter_viewed=True,
+            ref_models=["popular"],
+        )
+        tpu_out = cross_validate(
+            dataset=Dataset.construct(interactions),
+            splitter=TimeRangeSplitter("2D", n_splits=2),
+            models={"popular": PopularModel(), "ease": EASEModel(regularization=50.0)},
+            metrics={"vs_popular@10": tpu_m.Intersection(k=10)},
+            k=10,
+            filter_viewed=True,
+            ref_models=["popular"],
+        )
+        import pandas as pd
+
+        ref_rows = pd.DataFrame(ref_out["metrics"]).sort_values(["model", "i_split"]).reset_index(drop=True)
+        tpu_rows = pd.DataFrame(tpu_out["metrics"]).sort_values(["model", "i_split"]).reset_index(drop=True)
+        assert list(ref_rows["model"]) == list(tpu_rows["model"])
+        col = "vs_popular@10_popular" if "vs_popular@10_popular" in ref_rows.columns else "vs_popular@10"
+        assert col in tpu_rows.columns
+        np.testing.assert_allclose(
+            ref_rows[col].fillna(-1).to_numpy(), tpu_rows[col].fillna(-1).to_numpy(), atol=1e-6
+        )
