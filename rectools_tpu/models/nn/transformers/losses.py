@@ -75,20 +75,28 @@ def fused_softmax_loss(
     y: jnp.ndarray,  # (B, L)
     w: jnp.ndarray,  # (B, L)
     chunk: int = 4096,
+    use_pallas: tp.Optional[bool] = None,
 ) -> jnp.ndarray:
     """`softmax_loss` without materializing the (B, L, N) logits tensor.
 
-    The full-catalog CE step is HBM-bound on the logits (several full passes
-    forward + backward). Here the logsumexp streams over item chunks with a
-    running (max, sumexp) carry; `jax.checkpoint` on the chunk body makes the
-    backward recompute each chunk's partial logits instead of storing them,
-    so peak memory is O(B*L*chunk) and HBM traffic drops accordingly.
-    Identical value and gradients to `softmax_loss` on the dot-product
-    logits of the towers (same pad-ignore and weighting semantics).
+    On TPU the logsumexp runs as one Pallas reduction (ops.softmax_lse):
+    item chunks stream through VMEM against resident session blocks and the
+    (B*L, chunk) partial-logit tiles never reach HBM in forward OR backward.
+    Elsewhere an XLA chunk scan with `jax.checkpoint` gives the same value
+    and gradients with O(B*L*chunk) peak memory. Pad-ignore and weighting
+    semantics match `softmax_loss` exactly.
     """
     b, length, d = session_towers.shape
     n = item_towers.shape[0]
     s2 = session_towers.reshape(b * length, d)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ....ops.softmax_lse import streaming_lse
+
+        lse = streaming_lse(s2, item_towers).reshape(b, length)
+        return _ce_from_lse(session_towers, item_towers, y, w, lse)
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk
     emb = jnp.pad(item_towers, ((0, n_pad - n), (0, 0)))
@@ -112,7 +120,12 @@ def fused_softmax_loss(
     init = (jnp.full((b * length,), -1e30, jnp.float32), jnp.zeros((b * length,), jnp.float32))
     (m, s), _ = jax.lax.scan(jax.checkpoint(body), init, (emb_chunks, mask_chunks))
     lse = (m + jnp.log(s)).reshape(b, length)
+    return _ce_from_lse(session_towers, item_towers, y, w, lse)
 
+
+def _ce_from_lse(
+    session_towers: jnp.ndarray, item_towers: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray, lse: jnp.ndarray
+) -> jnp.ndarray:
     logit_y = jnp.einsum(
         "bld,bld->bl", session_towers, item_towers[y], preferred_element_type=jnp.float32
     )

@@ -1,0 +1,51 @@
+"""Streaming-logsumexp kernel tests (interpret mode stands in for TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectools_tpu.ops.softmax_lse import reference_lse, streaming_lse
+
+
+def _inputs(m=300, n=1500, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    sessions = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    items = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    return sessions, items
+
+
+class TestStreamingLse:
+    @pytest.mark.parametrize("m,n", [(256, 1024), (300, 1500), (64, 100)])
+    def test_forward_matches_reference(self, m, n) -> None:
+        sessions, items = _inputs(m, n)
+        got = streaming_lse(sessions, items, 128, 512, True)
+        expected = reference_lse(sessions, items)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
+
+    def test_gradients_match_reference(self) -> None:
+        sessions, items = _inputs(192, 700)
+        dlse_seed = jnp.asarray(np.random.default_rng(1).normal(size=(192,)).astype(np.float32))
+
+        def loss_fused(s, i):
+            return jnp.sum(streaming_lse(s, i, 128, 512, True) * dlse_seed)
+
+        def loss_ref(s, i):
+            return jnp.sum(reference_lse(s, i) * dlse_seed)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(sessions, items)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(sessions, items)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    def test_extreme_logits_stable(self) -> None:
+        sessions, items = _inputs(64, 256)
+        got = streaming_lse(sessions * 50.0, items * 50.0, 64, 128, True)
+        expected = reference_lse(sessions * 50.0, items * 50.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+    def test_bf16_inputs(self) -> None:
+        sessions, items = _inputs(128, 512)
+        got = streaming_lse(sessions.astype(jnp.bfloat16), items.astype(jnp.bfloat16), 128, 256, True)
+        expected = reference_lse(sessions.astype(jnp.bfloat16), items.astype(jnp.bfloat16))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-2, rtol=3e-3)
