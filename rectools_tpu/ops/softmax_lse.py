@@ -44,10 +44,10 @@ def _lse_fwd_kernel(s_ref, items_ref, m_ref, l_ref, *, chunk_n: int, n_valid: in
     col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col_ids < n_valid, logits, _NEG_BIG)
 
-    m_old = m_ref[0]
+    m_old = m_ref[0, 0]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
-    l_ref[0] = l_ref[0] * jnp.exp(m_old - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=1)
-    m_ref[0] = m_new
+    l_ref[0, 0] = l_ref[0, 0] * jnp.exp(m_old - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), axis=1)
+    m_ref[0, 0] = m_new
 
 
 def _dsessions_kernel(s_ref, items_ref, lse_ref, dlse_ref, ds_ref, *, chunk_n: int, n_valid: int):
@@ -63,8 +63,8 @@ def _dsessions_kernel(s_ref, items_ref, lse_ref, dlse_ref, ds_ref, *, chunk_n: i
         preferred_element_type=jnp.float32,
     )
     col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0][:, None]), 0.0)
-    weighted = p * dlse_ref[0][:, None]
+    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
+    weighted = p * dlse_ref[0, 0][:, None]
     ds_ref[...] += jnp.dot(weighted, items_ref[...], preferred_element_type=jnp.float32).astype(ds_ref.dtype)
 
 
@@ -82,8 +82,8 @@ def _ditems_kernel(s_ref, items_ref, lse_ref, dlse_ref, di_ref, *, chunk_n: int,
         preferred_element_type=jnp.float32,
     )  # (block_m, chunk_n)
     col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0][:, None]), 0.0)
-    weighted_s = s_ref[...] * dlse_ref[0][:, None]
+    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
+    weighted_s = s_ref[...] * dlse_ref[0, 0][:, None]
     di_ref[...] += jax.lax.dot_general(
         p, weighted_s, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(di_ref.dtype)
@@ -126,12 +126,12 @@ def _streaming_lse_fwd_impl(sessions, items, block_m, chunk_n, interpret):
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_m), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_m, block_m), jnp.float32),
-            jax.ShapeDtypeStruct((n_m, block_m), jnp.float32),
+            jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32),
+            jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32),
         ],
         interpret=interpret,
     )(s_pad, items_pad)
@@ -153,8 +153,8 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
     n_m = s_pad.shape[0] // block_m
     n_chunks = items_pad.shape[0] // chunk_n
     # padded rows: lse=+big makes their probabilities vanish
-    lse_pad = jnp.pad(lse, (0, s_pad.shape[0] - m_rows), constant_values=-_NEG_BIG).reshape(n_m, block_m)
-    dlse_pad = jnp.pad(dlse.astype(jnp.float32), (0, s_pad.shape[0] - m_rows)).reshape(n_m, block_m)
+    lse_pad = jnp.pad(lse, (0, s_pad.shape[0] - m_rows), constant_values=-_NEG_BIG).reshape(n_m, 1, block_m)
+    dlse_pad = jnp.pad(dlse.astype(jnp.float32), (0, s_pad.shape[0] - m_rows)).reshape(n_m, 1, block_m)
 
     ds = pl.pallas_call(
         partial(_dsessions_kernel, chunk_n=chunk_n, n_valid=n_valid),
@@ -162,8 +162,8 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(s_pad.shape, sessions.dtype),
@@ -176,8 +176,8 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
         in_specs=[
             pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((1, block_m), lambda j, i: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct(items_pad.shape, items.dtype),
