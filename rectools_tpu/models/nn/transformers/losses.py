@@ -91,7 +91,10 @@ def fused_softmax_loss(
     s2 = session_towers.reshape(b * length, d)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # the kernel's fixed per-block costs beat the scan only once the
+        # catalog spans several chunks (measured: ~9% slower at 3.7k items,
+        # 1.56x faster at 15.9k)
+        use_pallas = jax.default_backend() == "tpu" and n >= 8192
     if use_pallas:
         from ....ops.softmax_lse import streaming_lse
 

@@ -238,9 +238,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         s_t, i_t = self.backbone.apply({"params": params}, batch, method=towers, rngs=rngs)
         s_t = s_t.astype(jnp.float32) / self.logits_t
         # The Pallas streaming-lse kernel assumes an unsharded item table;
-        # under a mesh the XLA chunk scan keeps the contraction-dim psum
-        # pattern the TP sharding relies on.
-        use_pallas = jax.default_backend() == "tpu" and self._get_mesh() is None
+        # under a mesh force the XLA chunk scan, which keeps the
+        # contraction-dim psum pattern the TP sharding relies on. Off-mesh,
+        # let the loss pick by backend and catalog size.
+        use_pallas = None if self._get_mesh() is None else False
         return fused_softmax_loss(
             s_t, i_t.astype(jnp.float32), batch["y"], batch["yw"],
             chunk=self.fused_softmax_chunk, use_pallas=use_pallas,
