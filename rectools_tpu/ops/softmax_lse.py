@@ -65,7 +65,8 @@ def _dsessions_kernel(s_ref, items_ref, lse_ref, dlse_ref, ds_ref, *, chunk_n: i
     col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
     weighted = p * dlse_ref[0, 0][:, None]
-    ds_ref[...] += jnp.dot(weighted, items_ref[...], preferred_element_type=jnp.float32).astype(ds_ref.dtype)
+    # accumulator stays f32 across chunks (bf16 += would round each step)
+    ds_ref[...] += jnp.dot(weighted, items_ref[...], preferred_element_type=jnp.float32)
 
 
 def _ditems_kernel(s_ref, items_ref, lse_ref, dlse_ref, di_ref, *, chunk_n: int, n_valid: int):
@@ -83,10 +84,10 @@ def _ditems_kernel(s_ref, items_ref, lse_ref, dlse_ref, di_ref, *, chunk_n: int,
     )  # (block_m, chunk_n)
     col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
-    weighted_s = s_ref[...] * dlse_ref[0, 0][:, None]
+    weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[0, 0][:, None]
     di_ref[...] += jax.lax.dot_general(
         p, weighted_s, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(di_ref.dtype)
+    )
 
 
 def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -166,7 +167,7 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
             pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct(s_pad.shape, sessions.dtype),
+        out_shape=jax.ShapeDtypeStruct(s_pad.shape, jnp.float32),
         interpret=interpret,
     )(s_pad, items_pad, lse_pad, dlse_pad)
 
@@ -180,11 +181,11 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
             pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-        out_shape=jax.ShapeDtypeStruct(items_pad.shape, items.dtype),
+        out_shape=jax.ShapeDtypeStruct(items_pad.shape, jnp.float32),
         interpret=interpret,
     )(s_pad, items_pad, lse_pad, dlse_pad)
 
-    return ds[:m_rows], di[:n_valid]
+    return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype)
 
 
 streaming_lse.defvjp(_streaming_lse_fwd, _streaming_lse_bwd)
