@@ -1,9 +1,14 @@
 """Splitter base class: fold iteration + cold/seen filtering.
 
-Behavioral parity with reference rectools/model_selection/splitter.py:27-166.
+Behavioral parity with reference rectools/model_selection/splitter.py:27-166
+(test rows referencing cold users/items or already-seen pairs are dropped,
+fold stats collected on demand); the filter is expressed as a composition of
+mask predicates over one running test mask rather than sequential column
+re-slicing.
 """
 
 import typing as tp
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -11,6 +16,8 @@ import pandas as pd
 from ..columns import Columns
 from ..dataset import Interactions
 from .utils import get_not_seen_mask
+
+SplitIter = tp.Iterator[tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]]
 
 
 class Splitter:
@@ -24,20 +31,12 @@ class Splitter:
         self.filter_cold_items = filter_cold_items
         self.filter_already_seen = filter_already_seen
 
-    def split(
-        self,
-        interactions: Interactions,
-        collect_fold_stats: bool = False,
-    ) -> tp.Iterator[tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]]:
+    def split(self, interactions: Interactions, collect_fold_stats: bool = False) -> SplitIter:
         """Yield (train_idx, test_idx, split_info) with filtering applied."""
         for train_idx, test_idx, split_info in self._split_without_filter(interactions, collect_fold_stats):
             yield self.filter(interactions, collect_fold_stats, train_idx, test_idx, split_info)
 
-    def _split_without_filter(
-        self,
-        interactions: Interactions,
-        collect_fold_stats: bool = False,
-    ) -> tp.Iterator[tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]]:
+    def _split_without_filter(self, interactions: Interactions, collect_fold_stats: bool = False) -> SplitIter:
         raise NotImplementedError
 
     def filter(
@@ -48,44 +47,39 @@ class Splitter:
         test_idx: np.ndarray,
         split_info: tp.Dict[str, tp.Any],
     ) -> tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]:
-        """Drop cold users/items and already-seen pairs from test; optionally
-        collect fold stats (reference splitter.py:89-166)."""
-        need_ui = self.filter_cold_users or self.filter_cold_items or self.filter_already_seen or collect_fold_stats
+        """Drop cold-user / cold-item / already-seen rows from the test fold."""
+        wants_filtering = self.filter_cold_users or self.filter_cold_items or self.filter_already_seen
+        if not (wants_filtering or collect_fold_stats):
+            return train_idx, test_idx, split_info
 
-        if need_ui:
-            df = interactions.df
-            train_users = df[Columns.User].values[train_idx]
-            train_items = df[Columns.Item].values[train_idx]
-            test_users = df[Columns.User].values[test_idx]
-            test_items = df[Columns.Item].values[test_idx]
+        users = interactions.df[Columns.User].to_numpy()
+        items = interactions.df[Columns.Item].to_numpy()
+        train_users, train_items = users[train_idx], items[train_idx]
 
-        unq_train_users = None
-        unq_train_items = None
+        @lru_cache(maxsize=None)
+        def train_uniques(col: str) -> np.ndarray:
+            return pd.unique(train_users if col == Columns.User else train_items)
 
+        keep = np.ones(len(test_idx), dtype=bool)
         if self.filter_cold_users:
-            unq_train_users = pd.unique(train_users)
-            mask = np.isin(test_users, unq_train_users)
-            test_users, test_items, test_idx = test_users[mask], test_items[mask], test_idx[mask]
-
+            keep &= np.isin(users[test_idx], train_uniques(Columns.User))
         if self.filter_cold_items:
-            unq_train_items = pd.unique(train_items)
-            mask = np.isin(test_items, unq_train_items)
-            test_users, test_items, test_idx = test_users[mask], test_items[mask], test_idx[mask]
-
+            keep &= np.isin(items[test_idx], train_uniques(Columns.Item))
         if self.filter_already_seen:
-            mask = get_not_seen_mask(train_users, train_items, test_users, test_items)
-            test_users, test_items, test_idx = test_users[mask], test_items[mask], test_idx[mask]
+            # seen-pair removal must see only rows that survived the cold
+            # filters — matching the reference's sequential semantics
+            surviving = test_idx[keep]
+            not_seen = get_not_seen_mask(train_users, train_items, users[surviving], items[surviving])
+            keep[np.flatnonzero(keep)[~not_seen]] = False
+        test_idx = test_idx[keep]
 
         if collect_fold_stats:
-            if unq_train_users is None:
-                unq_train_users = pd.unique(train_users)
-            if unq_train_items is None:
-                unq_train_items = pd.unique(train_items)
-            split_info["train"] = train_users.size
-            split_info["train_users"] = unq_train_users.size
-            split_info["train_items"] = unq_train_items.size
-            split_info["test"] = test_users.size
-            split_info["test_users"] = pd.unique(test_users).size
-            split_info["test_items"] = pd.unique(test_items).size
-
+            split_info.update(
+                train=train_users.size,
+                train_users=train_uniques(Columns.User).size,
+                train_items=train_uniques(Columns.Item).size,
+                test=test_idx.size,
+                test_users=pd.unique(users[test_idx]).size,
+                test_items=pd.unique(items[test_idx]).size,
+            )
         return train_idx, test_idx, split_info

@@ -88,24 +88,27 @@ class PopularModelMixin:
     def _filter_interactions(
         cls, interactions: pd.DataFrame, period: tp.Optional[timedelta], begin_from: tp.Optional[datetime]
     ) -> pd.DataFrame:
-        if begin_from is not None:
-            interactions = interactions.loc[interactions[Columns.Datetime] >= begin_from]
-        elif period is not None:
-            begin_from = interactions[Columns.Datetime].max() - period
-            interactions = interactions.loc[interactions[Columns.Datetime] >= begin_from]
-        return interactions
+        window_start = begin_from
+        if window_start is None and period is not None:
+            window_start = interactions[Columns.Datetime].max() - period
+        if window_start is None:
+            return interactions
+        return interactions.loc[interactions[Columns.Datetime] >= window_start]
+
+    # popularity mode -> (column to aggregate, aggregation)
+    _POPULARITY_AGG = {
+        Popularity.N_USERS: (Columns.User, "nunique"),
+        Popularity.N_INTERACTIONS: (Columns.User, "count"),
+        Popularity.MEAN_WEIGHT: (Columns.Weight, "mean"),
+        Popularity.SUM_WEIGHT: (Columns.Weight, "sum"),
+    }
 
     @classmethod
     def _get_groupby_col_and_agg_func(cls, popularity: Popularity) -> tp.Tuple[str, str]:
-        if popularity == Popularity.N_USERS:
-            return Columns.User, "nunique"
-        if popularity == Popularity.N_INTERACTIONS:
-            return Columns.User, "count"
-        if popularity == Popularity.MEAN_WEIGHT:
-            return Columns.Weight, "mean"
-        if popularity == Popularity.SUM_WEIGHT:
-            return Columns.Weight, "sum"
-        raise ValueError(f"Unexpected popularity {popularity}")
+        try:
+            return cls._POPULARITY_AGG[popularity]
+        except KeyError:
+            raise ValueError(f"Unexpected popularity {popularity}")
 
 
 class PopularModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBase[PopularModelConfig]):
