@@ -237,14 +237,32 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
 
         s_t, i_t = self.backbone.apply({"params": params}, batch, method=towers, rngs=rngs)
         s_t = s_t.astype(jnp.float32) / self.logits_t
-        # The Pallas streaming-lse kernel assumes an unsharded item table;
-        # under a mesh force the XLA chunk scan, which keeps the
-        # contraction-dim psum pattern the TP sharding relies on. Off-mesh,
-        # let the loss pick by backend and catalog size.
-        use_pallas = None if self._get_mesh() is None else False
+        i_t = i_t.astype(jnp.float32)
+
+        mesh = self._get_mesh()
+        if mesh is not None:
+            # DPxTP form of the fused loss: item tower re-sharded by ROWS over
+            # the model axis (an (N, D) reshard — trivial next to the step),
+            # per-shard streaming lse, then an (M,)-sized logsumexp merge over
+            # ICI. Session rows stay batch-sharded on the data axis.
+            from ....ops.softmax_lse import sharded_streaming_lse
+            from ....parallel.mesh import DATA_AXIS as _DATA, MODEL_AXIS as _MODEL
+
+            b, length, d = s_t.shape
+            lse = sharded_streaming_lse(
+                s_t.reshape(b * length, d),
+                i_t,
+                mesh,
+                _MODEL,
+                data_axis=_DATA,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(b, length)
+            from .losses import _ce_from_lse
+
+            return _ce_from_lse(s_t, i_t, batch["y"], batch["yw"], lse)
+
         return fused_softmax_loss(
-            s_t, i_t.astype(jnp.float32), batch["y"], batch["yw"],
-            chunk=self.fused_softmax_chunk, use_pallas=use_pallas,
+            s_t, i_t, batch["y"], batch["yw"], chunk=self.fused_softmax_chunk
         )
 
     @property

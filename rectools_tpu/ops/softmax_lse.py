@@ -11,6 +11,13 @@ partial-logit tiles never exist in HBM at all. Backward recomputes the
 probability tiles the same way, emitting d(sessions) (chunk-streamed) and
 d(items) (session-block-streamed) without any (M, chunk) HBM tensor.
 
+Invalid item rows (padding to chunk multiples, or shard-local padding under
+a row-sharded table) are excluded through an additive per-row bias input
+(0 valid / -1e30 invalid) rather than a static count, which is what lets
+:func:`sharded_streaming_lse` run the same kernel per shard under
+``shard_map`` and combine the per-shard results with one tiny
+logsumexp-merge collective — the tensor-parallel form of the loss.
+
 Grid layouts exploit the TPU's sequential grid: the reduction axis is the
 fastest grid dimension, so the accumulator block is revisited consecutively
 and stays in VMEM between steps.
@@ -21,14 +28,20 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 DEFAULT_BLOCK_M = 256
 DEFAULT_CHUNK_N = 1024
 _NEG_BIG = -1e30
 
 
-def _lse_fwd_kernel(s_ref, items_ref, m_ref, l_ref, *, chunk_n: int, n_valid: int):
+def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
     """(m-block i, item-chunk j) program: flash-style running logsumexp."""
     j = pl.program_id(1)
 
@@ -40,9 +53,7 @@ def _lse_fwd_kernel(s_ref, items_ref, m_ref, l_ref, *, chunk_n: int, n_valid: in
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (block_m, chunk_n)
-    col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col_ids < n_valid, logits, _NEG_BIG)
+    ) + rowbias_ref[0, 0][None, :]  # (block_m, chunk_n); invalid rows -> -1e30
 
     m_old = m_ref[0, 0]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
@@ -50,7 +61,7 @@ def _lse_fwd_kernel(s_ref, items_ref, m_ref, l_ref, *, chunk_n: int, n_valid: in
     m_ref[0, 0] = m_new
 
 
-def _dsessions_kernel(s_ref, items_ref, lse_ref, dlse_ref, ds_ref, *, chunk_n: int, n_valid: int):
+def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     """ds = dlse * softmax @ items, accumulated over item chunks."""
     j = pl.program_id(1)
 
@@ -61,17 +72,15 @@ def _dsessions_kernel(s_ref, items_ref, lse_ref, dlse_ref, ds_ref, *, chunk_n: i
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
+    ) + rowbias_ref[0, 0][None, :]
+    p = jnp.exp(logits - lse_ref[0, 0][:, None])
     weighted = p * dlse_ref[0, 0][:, None]
     # accumulator stays f32 across chunks (bf16 += would round each step)
     ds_ref[...] += jnp.dot(weighted, items_ref[...], preferred_element_type=jnp.float32)
 
 
-def _ditems_kernel(s_ref, items_ref, lse_ref, dlse_ref, di_ref, *, chunk_n: int, n_valid: int):
+def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     """d(items) = softmax^T @ (dlse * sessions), accumulated over m-blocks."""
-    j = pl.program_id(0)  # item-chunk index (slow axis here)
     i = pl.program_id(1)  # m-block index (fast axis -> consecutive revisits)
 
     @pl.when(i == 0)
@@ -81,50 +90,58 @@ def _ditems_kernel(s_ref, items_ref, lse_ref, dlse_ref, di_ref, *, chunk_n: int,
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (block_m, chunk_n)
-    col_ids = j * chunk_n + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    p = jnp.where(col_ids < n_valid, jnp.exp(logits - lse_ref[0, 0][:, None]), 0.0)
+    ) + rowbias_ref[0, 0][None, :]
+    p = jnp.exp(logits - lse_ref[0, 0][:, None])
     weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[0, 0][:, None]
     di_ref[...] += jax.lax.dot_general(
         p, weighted_s, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
-def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+def _pad_rows(x: jnp.ndarray, multiple: int, fill: float = 0.0) -> jnp.ndarray:
     rows = x.shape[0]
     target = ((rows + multiple - 1) // multiple) * multiple
     if target == rows:
         return x
-    return jnp.pad(x, ((0, target - rows),) + ((0, 0),) * (x.ndim - 1))
+    widths = ((0, target - rows),) + ((0, 0),) * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _prepare(sessions, items, row_bias, block_m, chunk_n):
+    s_pad = _pad_rows(sessions, block_m)
+    items_pad = _pad_rows(items, chunk_n)
+    if row_bias is None:
+        row_bias = jnp.zeros((items.shape[0],), jnp.float32)
+    bias_pad = _pad_rows(row_bias.astype(jnp.float32), chunk_n, fill=_NEG_BIG)
+    n_m = s_pad.shape[0] // block_m
+    n_chunks = items_pad.shape[0] // chunk_n
+    return s_pad, items_pad, bias_pad.reshape(n_chunks, 1, chunk_n), n_m, n_chunks
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def streaming_lse(
     sessions: jnp.ndarray,  # (M, D)
     items: jnp.ndarray,  # (N, D)
+    row_bias: tp.Optional[jnp.ndarray] = None,  # (N,) additive; -1e30 = invalid row
     block_m: int = DEFAULT_BLOCK_M,
     chunk_n: int = DEFAULT_CHUNK_N,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """logsumexp_j(sessions @ items.T)[m] as one fused Pallas reduction."""
-    lse, _ = _streaming_lse_fwd_impl(sessions, items, block_m, chunk_n, interpret)
+    """logsumexp_j(sessions @ items.T + row_bias)[m] as one fused reduction."""
+    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret)
     return lse
 
 
-def _streaming_lse_fwd_impl(sessions, items, block_m, chunk_n, interpret):
+def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret):
     m_rows, d = sessions.shape
-    n_valid = items.shape[0]
-    s_pad = _pad_rows(sessions, block_m)
-    items_pad = _pad_rows(items, chunk_n)
-    n_m = s_pad.shape[0] // block_m
-    n_chunks = items_pad.shape[0] // chunk_n
-
+    s_pad, items_pad, bias3, n_m, n_chunks = _prepare(sessions, items, row_bias, block_m, chunk_n)
     m_run, l_run = pl.pallas_call(
-        partial(_lse_fwd_kernel, chunk_n=chunk_n, n_valid=n_valid),
+        _lse_fwd_kernel,
         grid=(n_m, n_chunks),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 1, chunk_n), lambda i, j: (j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
@@ -135,60 +152,101 @@ def _streaming_lse_fwd_impl(sessions, items, block_m, chunk_n, interpret):
             jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32),
         ],
         interpret=interpret,
-    )(s_pad, items_pad)
-    lse = (m_run + jnp.log(l_run)).reshape(-1)[:m_rows]
-    return lse, (s_pad, items_pad, lse)
+    )(s_pad, items_pad, bias3)
+    return (m_run + jnp.log(l_run)).reshape(-1)[:m_rows]
 
 
-def _streaming_lse_fwd(sessions, items, block_m, chunk_n, interpret):
-    lse, (s_pad, items_pad, _) = _streaming_lse_fwd_impl(sessions, items, block_m, chunk_n, interpret)
-    return lse, (sessions, items, lse)
+def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret):
+    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret)
+    return lse, (sessions, items, row_bias, lse)
 
 
 def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
-    sessions, items, lse = residuals
+    sessions, items, row_bias, lse = residuals
     m_rows, d = sessions.shape
     n_valid = items.shape[0]
-    s_pad = _pad_rows(sessions, block_m)
-    items_pad = _pad_rows(items, chunk_n)
-    n_m = s_pad.shape[0] // block_m
-    n_chunks = items_pad.shape[0] // chunk_n
-    # padded rows: lse=+big makes their probabilities vanish
+    s_pad, items_pad, bias3, n_m, n_chunks = _prepare(sessions, items, row_bias, block_m, chunk_n)
+    # padded session rows: lse=+big makes their probabilities vanish
     lse_pad = jnp.pad(lse, (0, s_pad.shape[0] - m_rows), constant_values=-_NEG_BIG).reshape(n_m, 1, block_m)
     dlse_pad = jnp.pad(dlse.astype(jnp.float32), (0, s_pad.shape[0] - m_rows)).reshape(n_m, 1, block_m)
 
     ds = pl.pallas_call(
-        partial(_dsessions_kernel, chunk_n=chunk_n, n_valid=n_valid),
+        _dsessions_kernel,
         grid=(n_m, n_chunks),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 1, chunk_n), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(s_pad.shape, jnp.float32),
         interpret=interpret,
-    )(s_pad, items_pad, lse_pad, dlse_pad)
+    )(s_pad, items_pad, bias3, lse_pad, dlse_pad)
 
     di = pl.pallas_call(
-        partial(_ditems_kernel, chunk_n=chunk_n, n_valid=n_valid),
+        _ditems_kernel,
         grid=(n_chunks, n_m),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, 1, chunk_n), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
             pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct(items_pad.shape, jnp.float32),
         interpret=interpret,
-    )(s_pad, items_pad, lse_pad, dlse_pad)
+    )(s_pad, items_pad, bias3, lse_pad, dlse_pad)
 
-    return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype)
+    d_bias = None if row_bias is None else jnp.zeros_like(row_bias)
+    return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype), d_bias
 
 
 streaming_lse.defvjp(_streaming_lse_fwd, _streaming_lse_bwd)
+
+
+def sharded_streaming_lse(
+    sessions: jnp.ndarray,  # (M, D) — replicated or row-sharded over data_axis
+    items: jnp.ndarray,  # (N, D)
+    mesh: Mesh,
+    shard_axis: str,
+    data_axis: tp.Optional[str] = None,
+    block_m: int = DEFAULT_BLOCK_M,
+    chunk_n: int = DEFAULT_CHUNK_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tensor-parallel streaming lse: item table row-sharded over
+    ``shard_axis``; each shard runs the local kernel over its slice, then the
+    per-shard partial logsumexps merge with one (M,)-sized collective —
+    the communication volume is rows, not logits. With ``data_axis`` set,
+    session rows stay batch-sharded (DPxTP): each (data, model) device works
+    on its batch shard against its item shard."""
+    n_shards = mesh.shape[shard_axis]
+    n = items.shape[0]
+    per_shard = -(-n // n_shards)
+    items_padded = _pad_rows(items, per_shard * n_shards)
+    valid = jnp.where(jnp.arange(items_padded.shape[0]) < n, 0.0, _NEG_BIG).astype(jnp.float32)
+    sessions_spec = P(data_axis, None) if data_axis is not None else P()
+
+    def local(sessions_local, items_local, bias_local):
+        local_lse = streaming_lse(sessions_local, items_local, bias_local, block_m, chunk_n, interpret)
+        # logsumexp-combine across shards: tiny (M,) collectives over ICI.
+        # The max shift is gradient-neutral; pmax has no differentiation rule
+        # under shard_map, so gather the per-shard maxima instead.
+        gathered = jax.lax.all_gather(jax.lax.stop_gradient(local_lse), shard_axis)
+        m = jnp.max(gathered, axis=0)
+        total = jax.lax.psum(jnp.exp(local_lse - m), shard_axis)
+        return m + jnp.log(total)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sessions_spec, P(shard_axis, None), P(shard_axis)),
+        out_specs=P(data_axis) if data_axis is not None else P(),
+        check_rep=False,
+    )(sessions, items_padded, valid)
 
 
 def reference_lse(sessions: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:

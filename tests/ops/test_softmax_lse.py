@@ -19,7 +19,7 @@ class TestStreamingLse:
     @pytest.mark.parametrize("m,n", [(256, 1024), (300, 1500), (64, 100)])
     def test_forward_matches_reference(self, m, n) -> None:
         sessions, items = _inputs(m, n)
-        got = streaming_lse(sessions, items, 128, 512, True)
+        got = streaming_lse(sessions, items, None, 128, 512, True)
         expected = reference_lse(sessions, items)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
 
@@ -28,7 +28,7 @@ class TestStreamingLse:
         dlse_seed = jnp.asarray(np.random.default_rng(1).normal(size=(192,)).astype(np.float32))
 
         def loss_fused(s, i):
-            return jnp.sum(streaming_lse(s, i, 128, 512, True) * dlse_seed)
+            return jnp.sum(streaming_lse(s, i, None, 128, 512, True) * dlse_seed)
 
         def loss_ref(s, i):
             return jnp.sum(reference_lse(s, i) * dlse_seed)
@@ -40,12 +40,58 @@ class TestStreamingLse:
 
     def test_extreme_logits_stable(self) -> None:
         sessions, items = _inputs(64, 256)
-        got = streaming_lse(sessions * 50.0, items * 50.0, 64, 128, True)
+        got = streaming_lse(sessions * 50.0, items * 50.0, None, 64, 128, True)
         expected = reference_lse(sessions * 50.0, items * 50.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
 
     def test_bf16_inputs(self) -> None:
         sessions, items = _inputs(128, 512)
-        got = streaming_lse(sessions.astype(jnp.bfloat16), items.astype(jnp.bfloat16), 128, 256, True)
+        got = streaming_lse(sessions.astype(jnp.bfloat16), items.astype(jnp.bfloat16), None, 128, 256, True)
         expected = reference_lse(sessions.astype(jnp.bfloat16), items.astype(jnp.bfloat16))
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-2, rtol=3e-3)
+
+
+class TestRowBiasAndSharding:
+    def test_row_bias_excludes_rows(self) -> None:
+        sessions, items = _inputs(64, 300)
+        bias = jnp.where(jnp.arange(300) < 200, 0.0, -1e30).astype(jnp.float32)
+        got = streaming_lse(sessions, items, bias, 64, 128, True)
+        expected = reference_lse(sessions, items[:200])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
+
+    def test_sharded_matches_dense(self) -> None:
+        import pytest as _pytest
+
+        if len(jax.devices()) < 8:
+            _pytest.skip("needs 8 virtual devices")
+        from rectools_tpu.ops.softmax_lse import sharded_streaming_lse
+        from rectools_tpu.parallel import MODEL_AXIS, make_mesh
+
+        sessions, items = _inputs(128, 1000)  # 1000 not divisible by 8 -> shard pads
+        mesh = make_mesh(n_data=1, n_model=8)
+        got = sharded_streaming_lse(sessions, items, mesh, MODEL_AXIS, block_m=64, chunk_n=128, interpret=True)
+        expected = reference_lse(sessions, items)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
+
+    def test_sharded_gradients_match_dense(self) -> None:
+        import pytest as _pytest
+
+        if len(jax.devices()) < 8:
+            _pytest.skip("needs 8 virtual devices")
+        from rectools_tpu.ops.softmax_lse import sharded_streaming_lse
+        from rectools_tpu.parallel import MODEL_AXIS, make_mesh
+
+        sessions, items = _inputs(96, 500)
+        mesh = make_mesh(n_data=1, n_model=8)
+        dl = jnp.asarray(np.random.default_rng(2).normal(size=(96,)).astype(np.float32))
+
+        def loss_sharded(s, i):
+            return jnp.sum(sharded_streaming_lse(s, i, mesh, MODEL_AXIS, block_m=64, chunk_n=64, interpret=True) * dl)
+
+        def loss_ref(s, i):
+            return jnp.sum(reference_lse(s, i) * dl)
+
+        gf = jax.grad(loss_sharded, argnums=(0, 1))(sessions, items)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(sessions, items)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
