@@ -245,7 +245,7 @@ def sharded_streaming_lse(
         mesh=mesh,
         in_specs=(sessions_spec, P(shard_axis, None), P(shard_axis)),
         out_specs=P(data_axis) if data_axis is not None else P(),
-        check_rep=False,
+        check_vma=False,
     )(sessions, items_padded, valid)
 
 
