@@ -133,3 +133,28 @@ def test_sharded_training_with_fused_softmax() -> None:
     r1 = sharded.recommend(users, ds, k=5, filter_viewed=False)
     r2 = single.recommend(users, ds, k=5, filter_viewed=False)
     np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, rtol=1e-3, atol=1e-4)
+
+
+@requires_8_devices
+class TestShardedFusedSoftmax:
+    def test_sharded_lse_loss_matches_single_device(self) -> None:
+        """Force the fused-softmax gate on (tiny chunk) so mesh training runs
+        the row-sharded streaming-lse path; losses must match the unsharded
+        fused path."""
+        dataset = _dataset()
+        common = dict(
+            n_blocks=1, n_heads=2, n_factors=16, session_max_len=8, epochs=2, batch_size=16,
+            seed=3, dropout_rate=0.0, loss="softmax",
+        )
+        sharded = SASRecModel(
+            training_module_kwargs={"mesh_shape": (4, 2), "fused_softmax_chunk": 8}, **common
+        )
+        sharded.fit(dataset)
+        single = SASRecModel(training_module_kwargs={"fused_softmax_chunk": 8}, **common)
+        single.fit(dataset)
+        assert sharded.training_module._use_fused_softmax
+        np.testing.assert_allclose(
+            np.asarray(sharded.training_module.train_loss_history),
+            np.asarray(single.training_module.train_loss_history),
+            rtol=1e-3,
+        )
