@@ -54,12 +54,14 @@ class TimeRangeSplitter(Splitter):
         filter_already_seen: bool = True,
     ) -> None:
         super().__init__(filter_cold_users, filter_cold_items, filter_already_seen)
-        m = re.fullmatch(r"([1-9]\d*)([DH])", test_size)
+        m = re.fullmatch(r"([1-9]\d*)([DHh])", test_size)
         if not m:
-            raise ValueError(r"Test size must match to `[1-9]\d*[DH]`, e.g. 1D, 4H")
+            raise ValueError(r"Test size must match to `[1-9]\d*[DHh]`, e.g. 1D, 4H")
         self.test_size = test_size
         self.test_size_value = int(m.groups()[0])
-        self.test_size_unit = m.groups()[1]
+        # pandas>=3 dropped the upper-case "H" offset alias; normalize the
+        # unit for every pandas call while accepting the reference's spelling
+        self.test_size_unit = {"D": "D", "H": "h", "h": "h"}[m.groups()[1]]
         self.n_splits = n_splits
 
     def get_test_fold_borders(self, interactions: Interactions) -> tp.List[tp.Tuple[pd.Timestamp, pd.Timestamp]]:
@@ -69,7 +71,12 @@ class TimeRangeSplitter(Splitter):
         if last_dt_ceiled == last_dt:
             last_dt_ceiled += pd.Timedelta(1, unit=self.test_size_unit)
         start_dt = last_dt_ceiled - pd.Timedelta(self.n_splits * self.test_size_value, unit=self.test_size_unit)
-        date_range = pd.date_range(start=start_dt, periods=self.n_splits + 1, freq=self.test_size, tz=last_dt.tz)
+        date_range = pd.date_range(
+            start=start_dt,
+            periods=self.n_splits + 1,
+            freq=f"{self.test_size_value}{self.test_size_unit}",
+            tz=last_dt.tz,
+        )
         return list(pairwise(date_range))
 
     def _split_without_filter(
