@@ -236,8 +236,14 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             return module.similarity_module.catalog_loss_towers(session_embs, item_embs)
 
         s_t, i_t = self.backbone.apply({"params": params}, batch, method=towers, rngs=rngs)
-        s_t = s_t.astype(jnp.float32) / self.logits_t
-        i_t = i_t.astype(jnp.float32)
+        # Under bf16 compute the towers STAY bf16 into the lse: every matmul
+        # in the streaming kernel / XLA chunk scan accumulates f32 via
+        # preferred_element_type, so the dominant (B*L, N) logit product runs
+        # at MXU bf16 peak while the logsumexp itself is exact f32. Only the
+        # temperature scale is applied at the working precision.
+        work_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        s_t = (s_t.astype(jnp.float32) / self.logits_t).astype(work_dtype)
+        i_t = i_t.astype(work_dtype)
 
         mesh = self._get_mesh()
         if mesh is not None:

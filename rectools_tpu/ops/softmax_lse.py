@@ -75,8 +75,12 @@ def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     ) + rowbias_ref[0, 0][None, :]
     p = jnp.exp(logits - lse_ref[0, 0][:, None])
     weighted = p * dlse_ref[0, 0][:, None]
-    # accumulator stays f32 across chunks (bf16 += would round each step)
-    ds_ref[...] += jnp.dot(weighted, items_ref[...], preferred_element_type=jnp.float32)
+    # accumulator stays f32 across chunks (bf16 += would round each step);
+    # under bf16 inputs the probability operand drops to bf16 so the MXU runs
+    # the product at bf16 rate — accumulation is still f32
+    ds_ref[...] += jnp.dot(
+        weighted.astype(s_ref.dtype), items_ref[...], preferred_element_type=jnp.float32
+    )
 
 
 def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
@@ -93,8 +97,12 @@ def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     ) + rowbias_ref[0, 0][None, :]
     p = jnp.exp(logits - lse_ref[0, 0][:, None])
     weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[0, 0][:, None]
+    # match operand precision to the input dtype (f32 accumulation either way)
     di_ref[...] += jax.lax.dot_general(
-        p, weighted_s, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(s_ref.dtype),
+        weighted_s.astype(s_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 

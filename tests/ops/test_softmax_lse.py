@@ -95,3 +95,46 @@ class TestRowBiasAndSharding:
         gr = jax.grad(loss_ref, argnums=(0, 1))(sessions, items)
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+class TestBf16Gradients:
+    def test_bf16_gradients_close_to_f32(self) -> None:
+        """Backward matmul operands follow the input dtype (bf16 rate on MXU,
+        f32 accumulation): gradients must stay within bf16 rounding of the
+        exact f32 path."""
+        sessions, items = _inputs(192, 700)
+        dlse_seed = jnp.asarray(np.random.default_rng(2).normal(size=(192,)).astype(np.float32))
+
+        def loss(s, i):
+            return jnp.sum(streaming_lse(s, i, None, 128, 256, True) * dlse_seed)
+
+        gf32 = jax.grad(loss, argnums=(0, 1))(sessions, items)
+        gbf16 = jax.grad(
+            lambda s, i: loss(s.astype(jnp.bfloat16), i.astype(jnp.bfloat16)), argnums=(0, 1)
+        )(sessions, items)
+        for a, b in zip(gbf16, gf32):
+            # relative tolerance ~ bf16 epsilon x accumulation effects
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+        # and the bf16 grads are not degenerate (zero / nan)
+        for a in gbf16:
+            arr = np.asarray(a, dtype=np.float32)
+            assert np.isfinite(arr).all()
+            assert np.abs(arr).max() > 0
+
+
+class TestWorkDtypePath:
+    def test_fused_loss_bf16_towers_match_f32(self) -> None:
+        """fused_softmax_loss with bf16 towers (the compute_dtype='bfloat16'
+        training path) matches the f32 value within bf16 input rounding."""
+        from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
+
+        rng = np.random.default_rng(3)
+        b, length, d, n = 4, 12, 32, 600
+        s_t = jnp.asarray(rng.normal(size=(b, length, d)).astype(np.float32))
+        i_t = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, n, size=(b, length)))
+        y = y.at[0, :3].set(0)  # padding rows ignored
+        w = jnp.asarray(rng.uniform(0.5, 1.0, size=(b, length)).astype(np.float32))
+        f32 = fused_softmax_loss(s_t, i_t, y, w, chunk=256)
+        bf16 = fused_softmax_loss(s_t.astype(jnp.bfloat16), i_t.astype(jnp.bfloat16), y, w, chunk=256)
+        np.testing.assert_allclose(float(bf16), float(f32), rtol=2e-2)
