@@ -96,8 +96,12 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str):
                 )
             rngs = None if dropout_rate == 0.0 else {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), step_idx)}
             s_t, i_t = backbone.apply({"params": p}, batch, method=towers, rngs=rngs)
+            # towers stay at the working precision into the loss — matching
+            # TransformerTrainingModule: the streaming-lse matmuls accumulate
+            # f32 from bf16 operands at MXU bf16 rate
+            work = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
             return fused_softmax_loss(
-                s_t.astype(jnp.float32), i_t.astype(jnp.float32), batch["y"], batch["yw"], chunk=2048
+                s_t.astype(work), i_t.astype(work), batch["y"], batch["yw"], chunk=2048
             )
 
         loss, grads = jax.value_and_grad(loss_of)(params)

@@ -9,7 +9,18 @@ Run: python examples/benchmark_scale.py [--users 200000]
 """
 
 import argparse
+import os
 import time
+
+import jax
+
+if os.environ.get("RECTOOLS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["RECTOOLS_PLATFORM"])
+else:
+    try:
+        jax.default_backend()
+    except RuntimeError:  # configured platform unavailable (e.g. no TPU)
+        jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd

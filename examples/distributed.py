@@ -18,7 +18,11 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+try:
+    backend = jax.default_backend()
+except RuntimeError:  # configured platform unavailable (e.g. no TPU tunnel)
+    backend = "unavailable"
+if backend != "tpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

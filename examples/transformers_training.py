@@ -2,7 +2,21 @@
 incremental training, multi-device sharding.
 
 Run: python examples/transformers_training.py
+(set RECTOOLS_PLATFORM=cpu|tpu to pin the jax platform; unreachable
+configured platforms fall back to CPU so the example runs anywhere)
 """
+
+import os
+
+import jax
+
+if os.environ.get("RECTOOLS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["RECTOOLS_PLATFORM"])
+else:
+    try:
+        jax.default_backend()
+    except RuntimeError:  # configured platform unavailable (e.g. no TPU)
+        jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd
