@@ -36,8 +36,8 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-DEFAULT_BLOCK_M = 256
-DEFAULT_CHUNK_N = 1024
+DEFAULT_BLOCK_M = 512
+DEFAULT_CHUNK_N = 2048
 _NEG_BIG = -1e30
 
 
