@@ -30,30 +30,38 @@ class MetricAtK:
         prev_interactions: tp.Optional[pd.DataFrame] = None,
         ref_reco: tp.Optional[pd.DataFrame] = None,
     ) -> None:
-        cls._check_columns(reco, "reco", (Columns.User, Columns.Item, Columns.Rank))
-        cls._check_columns(interactions, "interactions", (Columns.User, Columns.Item))
-        cls._check_columns(prev_interactions, "prev_interactions", (Columns.User, Columns.Item))
-        cls._check_columns(ref_reco, "ref_reco", (Columns.User, Columns.Item, Columns.Rank))
-        cls._check_rank_column(reco, "reco")
-        cls._check_rank_column(ref_reco, "ref_reco")
+        frames: tp.Dict[str, tp.Tuple[tp.Optional[pd.DataFrame], bool]] = {
+            "reco": (reco, True),  # (frame, is_ranked)
+            "interactions": (interactions, False),
+            "prev_interactions": (prev_interactions, False),
+            "ref_reco": (ref_reco, True),
+        }
+        for name, (df, ranked) in frames.items():
+            needed = Columns.UserItem + ([Columns.Rank] if ranked else [])
+            cls._check_columns(df, name, needed)
+            if ranked:
+                cls._check_rank_column(df, name)
 
     @staticmethod
     def _check_columns(df: tp.Optional[pd.DataFrame], name: str, required_columns: tp.Iterable[str]) -> None:
         if df is None:
             return
-        required = set(required_columns)
-        actual = set(df.columns)
-        if not actual >= required:
-            raise KeyError(f"Missed columns {required - actual} in '{name}' dataframe")
+        missing = {col for col in required_columns if col not in df.columns}
+        if missing:
+            raise KeyError(f"Missed columns {missing} in '{name}' dataframe")
 
     @staticmethod
     def _check_rank_column(reco: tp.Optional[pd.DataFrame], df_name: str) -> None:
         if reco is None or reco.empty:
             return
-        if reco[Columns.Rank].dtype.kind not in ("i", "u"):
-            warnings.warn(f"Expected integer dtype of '{Columns.Rank}' column in '{df_name}' dataframe.")
-        if int(round(reco[Columns.Rank].min())) != 1:
-            warnings.warn(f"Expected min value of '{Columns.Rank}' column in '{df_name}' dataframe to be equal to 1.")
+        ranks = reco[Columns.Rank]
+        problems = []
+        if ranks.dtype.kind not in ("i", "u"):
+            problems.append(f"Expected integer dtype of '{Columns.Rank}' column in '{df_name}' dataframe.")
+        if int(round(ranks.min())) != 1:
+            problems.append(f"Expected min value of '{Columns.Rank}' column in '{df_name}' dataframe to be equal to 1.")
+        for message in problems:
+            warnings.warn(message)
 
 
 def merge_reco(reco: pd.DataFrame, interactions: pd.DataFrame) -> pd.DataFrame:
@@ -70,15 +78,23 @@ def outer_merge_reco(reco: pd.DataFrame, interactions: pd.DataFrame) -> pd.DataF
     """Outer merge keeping every rank 1..max per user plus unpredicted test
     positives (null ranks); adds the "__test_positive" flag
     (reference base.py:106-160). Used by AUC metrics."""
-    prepared_interactions = interactions.reindex(columns=Columns.UserItem).drop_duplicates()
-    prepared_interactions["__test_positive"] = True
-    test_users = prepared_interactions[Columns.User].unique()
-    prepared_reco = reco[reco[Columns.User].isin(test_users)].reindex(columns=Columns.UserItem + [Columns.Rank])
-    merged = pd.merge(prepared_interactions, prepared_reco, on=Columns.UserItem, how="outer")
-    max_rank = prepared_reco.groupby(Columns.User)[Columns.Rank].max()
-    full_ranks = max_rank.apply(lambda a: list(range(1, int(a) + 1))).explode().rename(Columns.Rank)
-    ranked_reco = merged.merge(full_ranks, on=[Columns.User, Columns.Rank], how="outer").sort_values(
-        [Columns.User, Columns.Rank]
+    positives = interactions.reindex(columns=Columns.UserItem).drop_duplicates()
+    positives["__test_positive"] = True
+    relevant_reco = reco.loc[
+        reco[Columns.User].isin(positives[Columns.User].unique()), Columns.UserItem + [Columns.Rank]
+    ]
+    merged = pd.merge(positives, relevant_reco, on=Columns.UserItem, how="outer")
+    # dense 1..max_rank scaffold per user, built vectorized (no apply/explode):
+    # user u with max rank r contributes rows (u, 1), ..., (u, r)
+    per_user_max = relevant_reco.groupby(Columns.User)[Columns.Rank].max().astype(np.int64)
+    counts = per_user_max.to_numpy()
+    scaffold = pd.DataFrame(
+        {
+            Columns.User: np.repeat(per_user_max.index.to_numpy(), counts),
+            Columns.Rank: np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], np.int64),
+        }
     )
-    ranked_reco["__test_positive"] = ranked_reco["__test_positive"].fillna(False).astype(bool)
-    return ranked_reco.reset_index(drop=True)
+    ranked = merged.merge(scaffold, on=[Columns.User, Columns.Rank], how="outer")
+    ranked = ranked.sort_values([Columns.User, Columns.Rank]).reset_index(drop=True)
+    ranked["__test_positive"] = ranked["__test_positive"].fillna(False).astype(bool)
+    return ranked

@@ -47,45 +47,45 @@ class RandomSplitter(Splitter):
         filter_cold_items: bool = True,
         filter_already_seen: bool = True,
     ) -> None:
-        if test_fold_frac <= 0.0 or test_fold_frac >= 1.0:
+        super().__init__(filter_cold_users, filter_cold_items, filter_already_seen)
+        if not 0.0 < test_fold_frac < 1.0:
             raise ValueError("Value of test_fold_frac must be between 0 and 1")
         if test_fold_frac * n_splits > 1:
             raise ValueError(f"Impossible to create {n_splits} non-overlapping folds {test_fold_frac:.1%} each")
-        super().__init__(filter_cold_users, filter_cold_items, filter_already_seen)
-        self.random_state = random_state
-        self.n_splits = n_splits
         self.test_fold_frac = test_fold_frac
+        self.n_splits = n_splits
+        self.random_state = random_state
+
+    def _fold_size(self, n_interactions: int) -> int:
+        """Resolve the per-fold interaction count, validating it is usable."""
+        size = int(round(self.test_fold_frac * n_interactions))
+        problem = (
+            "empty test part" if size == 0
+            else "empty train part: all interactions are related to the test" if size == n_interactions
+            else None
+        )
+        if problem is not None:
+            raise ValueError(
+                f"Length of interactions ({n_interactions}) with "
+                f"test_fold_frac={self.test_fold_frac} leads to {problem}"
+            )
+        if size * self.n_splits > n_interactions:
+            raise ValueError(
+                f"Impossible to create {self.n_splits} non-overlapping folds "
+                f"with size {size} from {n_interactions} interactions"
+            )
+        return size
 
     def _split_without_filter(
         self,
         interactions: Interactions,
         collect_fold_stats: bool = False,
     ) -> tp.Iterator[tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]]:
-        rng = np.random.default_rng(self.random_state)
-        df = interactions.df
-        idx = pd.RangeIndex(0, len(df))
-
-        test_fold_size = int(round(self.test_fold_frac * len(df)))
-        if test_fold_size == 0:
-            raise ValueError(
-                f"Length of interactions ({len(df)}) with test_fold_frac={self.test_fold_frac} "
-                "leads to empty test part"
-            )
-        if test_fold_size == len(df):
-            raise ValueError(
-                f"Length of interactions ({len(df)}) with test_fold_frac={self.test_fold_frac} "
-                "leads to empty train part: all interactions are related to the test"
-            )
-        if self.n_splits * test_fold_size > len(df):
-            raise ValueError(
-                f"Impossible to create {self.n_splits} non-overlapping folds "
-                f"with size {test_fold_size} from {len(df)} interactions"
-            )
-
-        shuffled_idx = rng.permutation(idx)
+        n = len(interactions.df)
+        fold_size = self._fold_size(n)
+        # permutation of a RangeIndex: matches the reference's draw sequence
+        # bit-for-bit so seeded folds are interchangeable between libraries
+        order = np.random.default_rng(self.random_state).permutation(pd.RangeIndex(0, n))
         for i_split in range(self.n_splits):
-            left = i_split * test_fold_size
-            right = (i_split + 1) * test_fold_size
-            test_idx = shuffled_idx[left:right]
-            train_idx = np.concatenate((shuffled_idx[:left], shuffled_idx[right:]))
-            yield train_idx, test_idx, {"i_split": i_split}
+            window = slice(i_split * fold_size, (i_split + 1) * fold_size)
+            yield np.delete(order, window), order[window], {"i_split": i_split}

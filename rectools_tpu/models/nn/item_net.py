@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .dropout import HashDropout
+
 from ...dataset.dataset import Dataset, DatasetSchema, SparseFeaturesSchema
 from ...dataset.features import SparseFeatures
 
@@ -107,7 +109,7 @@ class CatFeaturesItemNet(ItemNetBase):
         cols = jnp.asarray(self.feature_cols)
         gathered = cat_emb[cols]  # (nnz, d)
         out = jnp.zeros((self.n_items, self.n_factors), dtype=cat_emb.dtype).at[rows].add(gathered)
-        out = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(out)
+        out = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(out)
         return out
 
     @staticmethod

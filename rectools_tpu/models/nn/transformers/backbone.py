@@ -10,6 +10,8 @@ import typing as tp
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..dropout import HashDropout
+
 from ..item_net import ItemNetBase
 from .net_blocks import MASK_VALUE, PositionalEncodingBase, TransformerLayersBase
 from .similarity import SimilarityModuleBase
@@ -52,7 +54,7 @@ class TransformerBackbone(TransformerBackboneBase):
     use_key_padding_mask: bool = False
 
     def setup(self) -> None:
-        self.emb_dropout = nn.Dropout(rate=self.dropout_rate)
+        self.emb_dropout = HashDropout(rate=self.dropout_rate)
 
     def _build_attn_bias(self, sessions: jnp.ndarray) -> tp.Optional[jnp.ndarray]:
         b, l = sessions.shape

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..dropout import HashDropout
+
 from ....ops.stu_attention import stu_dot_product_attention
 from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
 from .backbone import TransformerBackbone, TransformerBackboneBase
@@ -175,10 +177,10 @@ class STULayer(nn.Module):
                 v.reshape(batch_size, l, h, lh),
                 preferred_element_type=jnp.float32,
             ).reshape(batch_size, l, h * lh)
-        attn_output = nn.Dropout(rate=self.attn_dropout_rate, deterministic=deterministic)(attn_output)
+        attn_output = HashDropout(rate=self.attn_dropout_rate, deterministic=deterministic)(attn_output)
 
         o_input = u * nn.LayerNorm(epsilon=self.epsilon, name="norm_attn_output")(attn_output) * timeline_mask
-        o_input = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(o_input)
+        o_input = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(o_input)
         return nn.Dense(self.n_factors, name="output_mlp")(o_input) + seqs
 
 

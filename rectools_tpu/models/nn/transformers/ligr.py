@@ -10,6 +10,8 @@ import typing as tp
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..dropout import HashDropout
+
 from .net_blocks import MultiHeadAttention, TransformerLayersBase, init_feed_forward
 
 
@@ -36,7 +38,7 @@ class LiGRLayer(nn.Module):
             mha_input, mha_input, mha_input, attn_bias, deterministic
         )
         gated_skip = nn.sigmoid(nn.Dense(self.n_factors, name="gating_linear_1")(seqs))
-        seqs = seqs + gated_skip * nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
+        seqs = seqs + gated_skip * HashDropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
 
         ff_input = nn.LayerNorm(name="layer_norm_2")(seqs)
         ff_output = init_feed_forward(
@@ -44,7 +46,7 @@ class LiGRLayer(nn.Module):
             self.bias_in_ff, name="feed_forward",
         )(ff_input, deterministic)
         gated_skip = nn.sigmoid(nn.Dense(self.n_factors, name="gating_linear_2")(seqs))
-        seqs = seqs + gated_skip * nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(ff_output)
+        seqs = seqs + gated_skip * HashDropout(rate=self.dropout_rate, deterministic=deterministic)(ff_output)
         return seqs
 
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..dropout import HashDropout
+
 from ....ops.attention import dot_product_attention
 
 MASK_VALUE = -1e9  # additive attention-bias "minus infinity"
@@ -82,7 +84,7 @@ class PointWiseFeedForward(nn.Module):
     @nn.compact
     def __call__(self, seqs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         output = self.activation(nn.Dense(self.n_factors_ff, use_bias=self.use_bias, name="ff_linear_1")(seqs))
-        output = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(output)
+        output = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(output)
         return nn.Dense(self.n_factors, use_bias=self.use_bias, name="ff_linear_2")(output)
 
 
@@ -98,7 +100,7 @@ class SwigluFeedForward(nn.Module):
     def __call__(self, seqs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         gate = nn.silu(nn.Dense(self.n_factors_ff, use_bias=self.use_bias, name="ff_linear_1")(seqs))
         output = gate * nn.Dense(self.n_factors_ff, use_bias=self.use_bias, name="ff_linear_3")(seqs)
-        output = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(output)
+        output = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(output)
         return nn.Dense(self.n_factors, use_bias=self.use_bias, name="ff_linear_2")(output)
 
 
@@ -163,14 +165,14 @@ class PreLNTransformerLayer(nn.Module):
         mha_output = MultiHeadAttention(self.n_factors, self.n_heads, self.dropout_rate, name="multi_head_attn")(
             mha_input, mha_input, mha_input, attn_bias, deterministic
         )
-        seqs = seqs + nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
+        seqs = seqs + HashDropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
         ff_input = nn.LayerNorm(name="layer_norm_2")(seqs)
         ff_output = PointWiseFeedForward(
             self.n_factors, self.n_factors * self.ff_factors_multiplier, self.dropout_rate, _exact_gelu,
             name="feed_forward",
         )(ff_input, deterministic)
-        seqs = seqs + nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(ff_output)
-        seqs = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(seqs)
+        seqs = seqs + HashDropout(rate=self.dropout_rate, deterministic=deterministic)(ff_output)
+        seqs = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(seqs)
         return seqs
 
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..dropout import HashDropout
+
 from .... import native as _native
 
 from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
@@ -143,7 +145,7 @@ class SASRecTransformerLayer(nn.Module):
         seqs = PointWiseFeedForward(
             self.n_factors, self.n_factors, self.dropout_rate, nn.relu, name="feed_forward"
         )(ff_input, deterministic)
-        seqs = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(seqs)
+        seqs = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(seqs)
         seqs = seqs + ff_input
         return seqs
 
