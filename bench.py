@@ -49,7 +49,7 @@ def bench_jax() -> float:
         {"x": batch["x"]},
         deterministic=False,
     )["params"]
-    tx = optax.adam(1e-3, b1=0.9, b2=0.98)
+    tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer
     opt_state = tx.init(params)
 
     def towers(module, batch):

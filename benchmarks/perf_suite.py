@@ -77,7 +77,7 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str):
         {"x": batch["x"]},
         deterministic=dropout_rate == 0.0,
     )["params"]
-    tx = optax.adam(1e-3, b1=0.9, b2=0.98)
+    tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer
     opt_state = tx.init(params)
 
     def towers(module, batch):

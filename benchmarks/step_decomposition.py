@@ -60,7 +60,7 @@ def _setup(dropout_rate=0.2, compute_dtype="bfloat16"):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         {"x": batch["x"]}, deterministic=dropout_rate == 0.0,
     )["params"]
-    tx = optax.adam(1e-3, b1=0.9, b2=0.98)
+    tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer
     work = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     return backbone, batch, params, tx, work
 
@@ -215,6 +215,19 @@ def main() -> None:
 
     results["adam_only"] = _time_scan(adam_body, (params, opt_state0))
     log(f"adam_only: {results['adam_only']:.3f} ms/step")
+
+    # flattened optimizer: one fused update over a single contiguous vector
+    tx_flat = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))
+    opt_state_flat = tx_flat.init(params)
+
+    def adam_flat_body(carry, step_idx):
+        params, opt_state = carry
+        updates, opt_state2 = tx_flat.update(grads0, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return (params2, opt_state2), jax.tree.leaves(params2)[0].ravel()[0]
+
+    results["adam_flat"] = _time_scan(adam_flat_body, (params, opt_state_flat))
+    log(f"adam_flat: {results['adam_flat']:.3f} ms/step")
 
     out = Path(__file__).with_name("results_step_decomposition.json")
     out.write_text(json.dumps({"config": CFG, "steps": STEPS, "ms_per_step": results}, indent=1))

@@ -83,6 +83,37 @@ def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     )
 
 
+def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, dsp_ref):
+    """One (item-chunk j, m-block i) program emitting BOTH gradients.
+
+    The probability tile is computed once per (i, j) instead of once per
+    kernel: pw = softmax * dlse serves ds (pw @ items) and di (pw^T @ s) —
+    this removes one full (M, N, D) logit-recompute pass versus the split
+    kernels below. di accumulates in the revisited VMEM block (i is the fast
+    grid axis); ds cannot also revisit consecutively in this layout, so each
+    (i, j) tile writes a per-chunk partial that a cheap XLA reduction sums —
+    O(n_chunks * M * D) HBM, which is why the split path remains for very
+    large catalogs (see _FUSED_BWD_PARTIALS_BUDGET).
+    """
+    i = pl.program_id(1)  # m-block index (fast axis -> consecutive di revisits)
+
+    @pl.when(i == 0)
+    def _init():
+        di_ref[...] = jnp.zeros_like(di_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + rowbias_ref[0, 0][None, :]
+    pw = jnp.exp(logits - lse_ref[0, 0][:, None]) * dlse_ref[0, 0][:, None]
+    pw_op = pw.astype(s_ref.dtype)  # MXU runs at the input precision; f32 accumulation below
+    dsp_ref[0, ...] = jnp.dot(pw_op, items_ref[...], preferred_element_type=jnp.float32)
+    di_ref[...] += jax.lax.dot_general(
+        pw_op, s_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     """d(items) = softmax^T @ (dlse * sessions), accumulated over m-blocks."""
     i = pl.program_id(1)  # m-block index (fast axis -> consecutive revisits)
@@ -169,6 +200,11 @@ def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret):
     return lse, (sessions, items, row_bias, lse)
 
 
+# fused backward writes (n_chunks, M, D) f32 ds partials; above this many
+# bytes fall back to the two-pass kernels (no partials, one extra logit pass)
+_FUSED_BWD_PARTIALS_BUDGET = 512 * 1024 * 1024
+
+
 def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
     sessions, items, row_bias, lse = residuals
     m_rows, d = sessions.shape
@@ -177,6 +213,32 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
     # padded session rows: lse=+big makes their probabilities vanish
     lse_pad = jnp.pad(lse, (0, s_pad.shape[0] - m_rows), constant_values=-_NEG_BIG).reshape(n_m, 1, block_m)
     dlse_pad = jnp.pad(dlse.astype(jnp.float32), (0, s_pad.shape[0] - m_rows)).reshape(n_m, 1, block_m)
+
+    d_bias = None if row_bias is None else jnp.zeros_like(row_bias)
+    partials_bytes = n_chunks * s_pad.shape[0] * d * 4
+    if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:
+        di, ds_partials = pl.pallas_call(
+            _bwd_fused_kernel,
+            grid=(n_chunks, n_m),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((1, 1, chunk_n), lambda j, i: (j, 0, 0)),
+                pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
+                pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((1, block_m, d), lambda j, i: (j, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(items_pad.shape, jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, s_pad.shape[0], d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(s_pad, items_pad, bias3, lse_pad, dlse_pad)
+        ds = ds_partials.sum(axis=0)
+        return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype), d_bias
 
     ds = pl.pallas_call(
         _dsessions_kernel,
@@ -208,7 +270,6 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
         interpret=interpret,
     )(s_pad, items_pad, bias3, lse_pad, dlse_pad)
 
-    d_bias = None if row_bias is None else jnp.zeros_like(row_bias)
     return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype), d_bias
 
 

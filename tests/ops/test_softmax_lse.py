@@ -138,3 +138,41 @@ class TestWorkDtypePath:
         f32 = fused_softmax_loss(s_t, i_t, y, w, chunk=256)
         bf16 = fused_softmax_loss(s_t.astype(jnp.bfloat16), i_t.astype(jnp.bfloat16), y, w, chunk=256)
         np.testing.assert_allclose(float(bf16), float(f32), rtol=2e-2)
+
+
+class TestFusedBackwardPaths:
+    """The fused single-pass backward and the two-pass fallback must agree."""
+
+    def test_fallback_two_pass_matches_fused(self, monkeypatch) -> None:
+        import rectools_tpu.ops.softmax_lse as mod
+
+        sessions, items = _inputs(192, 700)
+        dlse_seed = jnp.asarray(np.random.default_rng(2).normal(size=(192,)).astype(np.float32))
+
+        def loss(s, i):
+            return jnp.sum(streaming_lse(s, i, None, 128, 512, True) * dlse_seed)
+
+        g_fused = jax.grad(loss, argnums=(0, 1))(sessions, items)
+        monkeypatch.setattr(mod, "_FUSED_BWD_PARTIALS_BUDGET", 0)
+        g_split = jax.grad(loss, argnums=(0, 1))(sessions, items)
+        for a, b in zip(g_fused, g_split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    def test_fused_bwd_with_row_bias_and_padding(self) -> None:
+        # non-multiple shapes exercise both session and item padding in the
+        # fused kernel; biased-out rows must receive zero gradient
+        sessions, items = _inputs(100, 333)
+        bias = jnp.where(jnp.arange(333) < 300, 0.0, -1e30).astype(jnp.float32)
+        dlse_seed = jnp.asarray(np.random.default_rng(3).normal(size=(100,)).astype(np.float32))
+
+        def loss_fused(s, i):
+            return jnp.sum(streaming_lse(s, i, bias, 64, 128, True) * dlse_seed)
+
+        def loss_ref(s, i):
+            return jnp.sum(reference_lse(s, i[:300]) * dlse_seed)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(sessions, items)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(sessions, items)  # rows >= 300 are zero
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf[1][300:]), 0.0, atol=1e-6)
