@@ -14,6 +14,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..dropout import HashDropout
+from ..norm import FusedLayerNorm
 
 from ....ops.stu_attention import stu_dot_product_attention
 from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
@@ -124,7 +125,7 @@ class STULayer(nn.Module):
         batch_size, l, _ = seqs.shape
         h, lh, ad = self.n_heads, self.linear_hidden_dim, self.attention_dim
 
-        normed_x = nn.LayerNorm(epsilon=self.epsilon, name="norm_input")(seqs) * timeline_mask
+        normed_x = FusedLayerNorm(epsilon=self.epsilon, name="norm_input")(seqs) * timeline_mask
         uvqk_proj = self.param(
             "uvqk_proj",
             nn.initializers.xavier_uniform(),
@@ -179,7 +180,7 @@ class STULayer(nn.Module):
             ).reshape(batch_size, l, h * lh)
         attn_output = HashDropout(rate=self.attn_dropout_rate, deterministic=deterministic)(attn_output)
 
-        o_input = u * nn.LayerNorm(epsilon=self.epsilon, name="norm_attn_output")(attn_output) * timeline_mask
+        o_input = u * FusedLayerNorm(epsilon=self.epsilon, name="norm_attn_output")(attn_output) * timeline_mask
         o_input = HashDropout(rate=self.dropout_rate, deterministic=deterministic)(o_input)
         return nn.Dense(self.n_factors, name="output_mlp")(o_input) + seqs
 

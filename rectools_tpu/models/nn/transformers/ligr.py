@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..dropout import HashDropout
+from ..norm import FusedLayerNorm
 
 from .net_blocks import MultiHeadAttention, TransformerLayersBase, init_feed_forward
 
@@ -33,14 +34,14 @@ class LiGRLayer(nn.Module):
         attn_bias: tp.Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        mha_input = nn.LayerNorm(name="layer_norm_1")(seqs)
+        mha_input = FusedLayerNorm(name="layer_norm_1")(seqs)
         mha_output = MultiHeadAttention(self.n_factors, self.n_heads, self.dropout_rate, name="multi_head_attn")(
             mha_input, mha_input, mha_input, attn_bias, deterministic
         )
         gated_skip = nn.sigmoid(nn.Dense(self.n_factors, name="gating_linear_1")(seqs))
         seqs = seqs + gated_skip * HashDropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
 
-        ff_input = nn.LayerNorm(name="layer_norm_2")(seqs)
+        ff_input = FusedLayerNorm(name="layer_norm_2")(seqs)
         ff_output = init_feed_forward(
             self.n_factors, self.ff_factors_multiplier, self.dropout_rate, self.ff_activation,
             self.bias_in_ff, name="feed_forward",

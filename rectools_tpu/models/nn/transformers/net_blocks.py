@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..dropout import HashDropout
+from ..norm import FusedLayerNorm
 
 from ....ops.attention import dot_product_attention
 
@@ -161,12 +162,12 @@ class PreLNTransformerLayer(nn.Module):
         attn_bias: tp.Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        mha_input = nn.LayerNorm(name="layer_norm_1")(seqs)
+        mha_input = FusedLayerNorm(name="layer_norm_1")(seqs)
         mha_output = MultiHeadAttention(self.n_factors, self.n_heads, self.dropout_rate, name="multi_head_attn")(
             mha_input, mha_input, mha_input, attn_bias, deterministic
         )
         seqs = seqs + HashDropout(rate=self.dropout_rate, deterministic=deterministic)(mha_output)
-        ff_input = nn.LayerNorm(name="layer_norm_2")(seqs)
+        ff_input = FusedLayerNorm(name="layer_norm_2")(seqs)
         ff_output = PointWiseFeedForward(
             self.n_factors, self.n_factors * self.ff_factors_multiplier, self.dropout_rate, _exact_gelu,
             name="feed_forward",

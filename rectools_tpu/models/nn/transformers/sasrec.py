@@ -11,6 +11,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..dropout import HashDropout
+from ..norm import FusedLayerNorm
 
 from .... import native as _native
 
@@ -136,12 +137,12 @@ class SASRecTransformerLayer(nn.Module):
         attn_bias: tp.Optional[jnp.ndarray],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        q = nn.LayerNorm(name="q_layer_norm")(seqs)
+        q = FusedLayerNorm(name="q_layer_norm")(seqs)
         mha_output = MultiHeadAttention(self.n_factors, self.n_heads, self.dropout_rate, name="multi_head_attn")(
             q, seqs, seqs, attn_bias, deterministic
         )
         seqs = q + mha_output
-        ff_input = nn.LayerNorm(name="ff_layer_norm")(seqs)
+        ff_input = FusedLayerNorm(name="ff_layer_norm")(seqs)
         seqs = PointWiseFeedForward(
             self.n_factors, self.n_factors, self.dropout_rate, nn.relu, name="feed_forward"
         )(ff_input, deterministic)
@@ -174,7 +175,7 @@ class SASRecTransformerLayers(TransformerLayersBase):
                 self.n_factors, self.n_heads, self.dropout_rate, name=f"block_{block_idx}"
             )(seqs, attn_bias, deterministic)
         seqs = seqs * timeline_mask
-        seqs = nn.LayerNorm(epsilon=1e-8, name="last_layernorm")(seqs)
+        seqs = FusedLayerNorm(epsilon=1e-8, name="last_layernorm")(seqs)
         return seqs
 
 
