@@ -43,6 +43,26 @@ def hash_keep_mask(key: jnp.ndarray, shape: tp.Tuple[int, ...], rate: float) -> 
     return bits >= _dropout_threshold(rate)
 
 
+def hash_uniform_ints(
+    key: jnp.ndarray, shape: tp.Tuple[int, ...], low: int, high: int
+) -> jnp.ndarray:
+    """int32 array of ``shape``, ~uniform on [low, high) — counter-hash draw.
+
+    Replaces per-element threefry for high-volume on-device sampling (the
+    sampled-softmax negative draws are (B, L, n_negatives) ints per step).
+    Modulo bias is ~(high-low)/2^32 — immaterial for catalog-sized ranges.
+    A different salt-mix constant than :func:`hash_keep_mask` keeps negative
+    draws decorrelated from dropout masks even under related keys.
+    """
+    words = _key_words(key)
+    salt = words[0] ^ (words[1] * np.int32(48271))
+    n = int(np.prod(shape))
+    pos = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    bits = _fmix32((pos * _GOLDEN_I32 + salt).astype(jnp.uint32))
+    span = np.uint32(high - low)
+    return np.int32(low) + (bits % span).astype(jnp.int32)
+
+
 class HashDropout(nn.Module):
     """``nn.Dropout``-compatible layer backed by :func:`hash_keep_mask`."""
 

@@ -26,9 +26,11 @@ class FusedLayerNorm(nn.Module):
         beta = self.param("bias", nn.initializers.zeros, (d,))
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # one VMEM block holds (block_m, d) f32: cap d; tiny row counts
-            # are not worth a kernel launch
-            use_pallas = jax.default_backend() == "tpu" and d <= 2048 and x.size // d >= 8
+            # the kernel wins standalone at any width, but the pallas_call is
+            # a fusion barrier for XLA's neighbors: end-to-end it is +0.5 ms
+            # at d=128 (KION) and -2.3 ms at d=256 (ML-20M) per train step —
+            # auto mode takes the kernel only at narrow dims (PERF_r02.md)
+            use_pallas = jax.default_backend() == "tpu" and d <= 128 and x.size // d >= 8
         if use_pallas:
             y = fused_layer_norm(x.reshape(-1, d), gamma, beta, self.epsilon)
             return y.reshape(x.shape)

@@ -298,7 +298,11 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         lowest = len(self.item_extra_tokens)
         highest = self.backbone.item_model.n_items
         b, length = batch["y"].shape
-        return jax.random.randint(neg_rng, (b, length, n_negatives), lowest, highest)
+        # counter-hash uniform ints: per-element threefry for (B, L, n_neg)
+        # draws was measurable step time (see models/nn/dropout.py)
+        from ..dropout import hash_uniform_ints
+
+        return hash_uniform_ints(neg_rng, (b, length, n_negatives), lowest, highest)
 
     def _batch_logits(
         self,

@@ -126,3 +126,32 @@ class TestBackboneUsesHashDropout:
         out_eval = bb.apply({"params": params}, {"x": x}, deterministic=True)
         assert out_train.shape == out_eval.shape
         assert bool((np.asarray(out_train) != np.asarray(out_eval)).any())
+
+
+class TestHashUniformInts:
+    def test_range_and_distribution(self) -> None:
+        from rectools_tpu.models.nn.dropout import hash_uniform_ints
+
+        vals = np.asarray(hash_uniform_ints(jax.random.PRNGKey(0), (100_000,), 3, 50))
+        assert vals.min() >= 3 and vals.max() < 50
+        counts = np.bincount(vals, minlength=50)[3:50]
+        # each of the 47 buckets expects ~2128 hits; allow 5 sigma
+        expected = 100_000 / 47
+        assert np.all(np.abs(counts - expected) < 5 * np.sqrt(expected))
+
+    def test_deterministic_and_key_dependent(self) -> None:
+        from rectools_tpu.models.nn.dropout import hash_uniform_ints
+
+        a = hash_uniform_ints(jax.random.PRNGKey(5), (64, 8), 0, 1000)
+        b = hash_uniform_ints(jax.random.PRNGKey(5), (64, 8), 0, 1000)
+        c = hash_uniform_ints(jax.random.PRNGKey(6), (64, 8), 0, 1000)
+        assert bool((a == b).all()) and bool((a != c).any())
+
+    def test_decorrelated_from_keep_mask(self) -> None:
+        from rectools_tpu.models.nn.dropout import hash_keep_mask, hash_uniform_ints
+
+        key = jax.random.PRNGKey(9)
+        mask = np.asarray(hash_keep_mask(key, (50_000,), 0.5), dtype=np.float64)
+        ints = np.asarray(hash_uniform_ints(key, (50_000,), 0, 2), dtype=np.float64)
+        corr = np.corrcoef(mask, ints)[0, 1]
+        assert abs(corr) < 0.02
