@@ -16,7 +16,19 @@ from .nn.transformers.sasrec import SASRecModel, SASRecModelConfig
 from .nn.transformers.bert4rec import BERT4RecModel, BERT4RecModelConfig
 from .nn.transformers.hstu import HSTUModel, HSTUModelConfig
 
+# Aliases under the reference (RecTools) class names, for migrating users.
+# The native solvers are first-class models here — the old wrapper names keep
+# working as synonyms (see also compat.translate_reference_config for configs).
+ImplicitALSWrapperModel = ALSModel
+ImplicitBPRWrapperModel = BPRModel
+ImplicitItemKNNWrapperModel = ItemKNNModel
+LightFMWrapperModel = HybridMFModel
+
 __all__ = [
+    "ImplicitALSWrapperModel",
+    "ImplicitBPRWrapperModel",
+    "ImplicitItemKNNWrapperModel",
+    "LightFMWrapperModel",
     "FixedColdRecoModelMixin",
     "ALSModel",
     "ALSModelConfig",

@@ -39,11 +39,28 @@ RecoTriplet = tp.Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 STANDARD_MODEL_PATH_PREFIX = "rectools_tpu.models"
 
+# Reference (RecTools) class names accepted as aliases so configs written for
+# the reference library resolve to the native equivalents here. The wrapped
+# native solvers are first-class models in this framework, hence the renames.
+REFERENCE_MODEL_ALIASES: tp.Dict[str, str] = {
+    "ImplicitALSWrapperModel": "ALSModel",
+    "ImplicitBPRWrapperModel": "BPRModel",
+    "ImplicitItemKNNWrapperModel": "ItemKNNModel",
+    "LightFMWrapperModel": "HybridMFModel",
+}
+
+REFERENCE_MODEL_PATH_PREFIX = "rectools.models"
+
 
 def _deserialize_model_class(spec: tp.Any) -> tp.Any:
     if not isinstance(spec, str):
         return spec
+    if spec.startswith(REFERENCE_MODEL_PATH_PREFIX + "."):
+        # Accept class paths from reference-library configs
+        # (e.g. "rectools.models.implicit_als.ImplicitALSWrapperModel").
+        spec = spec.rsplit(".", 1)[-1]
     if "." not in spec:
+        spec = REFERENCE_MODEL_ALIASES.get(spec, spec)
         spec = f"{STANDARD_MODEL_PATH_PREFIX}.{spec}"
     return import_object(spec)
 
