@@ -2,10 +2,13 @@
 
 Workload mirrors BASELINE.json's KION serving/training scale: batch 512,
 session length 100, d=128, 15,872-item catalog (KION has 15,706 items), and
-the DEFAULT user config's dropout_rate=0.2 — so the measured path is the
-fused-attention in-kernel-dropout kernel plus the chunked-logsumexp
-full-catalog softmax loss (the reference's default and its compute-dominant
-path, O(B*L*n_items*d) logits — rectools/models/nn/transformers/similarity.py:84-86).
+the DEFAULT user config's dropout_rate=0.2 — so the measured path is exactly
+what `dot_product_attention`'s shape dispatch picks at L=100 (the XLA
+attention path with counter-hash dropout; the Pallas kernel takes over at
+L>=256 — see ops/attention.py:_prefer_xla_attention) plus the
+chunked-logsumexp full-catalog softmax loss (the reference's default and its
+compute-dominant path, O(B*L*n_items*d) logits —
+rectools/models/nn/transformers/similarity.py:84-86).
 
 ``vs_baseline`` is measured in-process against an equivalent torch CPU train
 step (the reference's execution substrate for users without CUDA; RecTools

@@ -84,42 +84,93 @@ def dropout_keep_mask(
 
 
 def _attn_fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float, dropout_rate: float, block_q: int
+    seed_ref,
+    q_ref,  # (G, block_q, dh)
+    k_ref,  # (G, L, dh)
+    v_ref,  # (G, L, dh)
+    bias_ref,  # (bias_rows, block_q, L)
+    out_ref,  # (G, block_q, dh)
+    lse_ref,  # (G, 1, block_q)
+    *,
+    scale: float,
+    dropout_rate: float,
+    block_q: int,
+    g_rows: int,
+    bias_row_of: tp.Callable[[int], int],
 ):
-    """One (batch*head, q-block) program: scores+bias+softmax+dropout+PV."""
+    """One program handles ``g_rows`` batch*head rows of one q block.
+
+    Grouping rows amortizes the per-program launch overhead that dominates at
+    recsys shapes (L ~ 100, dh ~ 32: each row's matmuls are far smaller than
+    one MXU pass) — measured 1.3x fwd+bwd win at B=512, H=4, L=100, dh=32 vs
+    the one-row-per-program layout (benchmarks/attention_micro.py). Group
+    sizes beyond ~16 hit the scoped-VMEM stack limit (see
+    `_GROUP_VMEM_BUDGET`), which is why short-L dispatch still prefers the
+    XLA path (`_prefer_xla_attention`).
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    q = q_ref[0]  # (block_q, dh)
-    k = k_ref[0]  # (L, dh)
-    v = v_ref[0]  # (L, dh)
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, L)
-    s = s * scale + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    if dropout_rate > 0.0:
-        keep = dropout_keep_mask(seed_ref[0], i, j * block_q, block_q, k.shape[0], dropout_rate)
-        p = p * keep * (1.0 / (1.0 - dropout_rate))
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
-    out_ref[0] = out.astype(out_ref.dtype)
-    lse_ref[0] = (m[:, 0] + jnp.log(denom[:, 0]))[None, :]
+    for g in range(g_rows):  # static unroll
+        q = q_ref[g]  # (block_q, dh)
+        k = k_ref[g]  # (L, dh)
+        v = v_ref[g]  # (L, dh)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, L)
+        s = s * scale + bias_ref[bias_row_of(g)]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = dropout_keep_mask(
+                seed_ref[0], i * g_rows + g, j * block_q, block_q, k.shape[0], dropout_rate
+            )
+            p = p * keep * (1.0 / (1.0 - dropout_rate))
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+        out_ref[g] = out.astype(out_ref.dtype)
+        lse_ref[g] = (m[:, 0] + jnp.log(denom[:, 0]))[None, :]
 
 
-def _bias_index_fn(bias_b: int, bias_h: int, h: int):
-    """Broadcast-aware (flat bias row) index for a given batch*head row."""
+_GROUP_CANDIDATES = (16, 8, 4, 2, 1)
+# Scoped-VMEM budget for one program: double-buffered window blocks PLUS the
+# unrolled loop's stack temporaries (~10 live (block_q, L) f32/int32 tiles per
+# unrolled row: scores, probabilities, dropout hash intermediates — Mosaic
+# does not reuse stack across unrolled iterations; hardware scoped limit 16M).
+_GROUP_VMEM_BUDGET = 12 * 1024 * 1024
+_TEMP_TILES_PER_ROW = 10
 
-    def index(i, j, *_):
-        if bias_b == 1 and bias_h == 1:
-            return (0, j, 0)
-        if bias_b == 1:
-            return (i % h, j, 0)  # bias is (1, H, L, L) -> flat (H, L, L)
-        if bias_h == 1:
-            return (i // h, j, 0)  # bias is (B, 1, L, L) -> flat (B, L, L)
-        return (i, j, 0)
 
-    return index
+def _bias_group_layout(bias_b: int, bias_h: int, h: int, g: int):
+    """(bias_rows, block_row_index(i), bias_row_of(g)) for a G-row program.
+
+    The flat bias array is (bias_b*bias_h, L, L); a program covers batch*head
+    rows [i*G, (i+1)*G). Requires G % H == 0 or H % G == 0 when the bias is
+    batch- or head-dependent (enforced by `_pick_group`).
+    """
+    if bias_b == 1 and bias_h == 1:
+        return 1, lambda i: 0, lambda g_: 0
+    if bias_b == 1:  # per-head bias, flat (H, L, L)
+        if g % h == 0:
+            return h, lambda i: 0, lambda g_: g_ % h
+        return g, lambda i: i % (h // g), lambda g_: g_
+    if bias_h == 1:  # per-batch bias, flat (B, L, L)
+        if g % h == 0:
+            return g // h, lambda i: i, lambda g_: g_ // h
+        return 1, lambda i: i * g // h, lambda g_: 0
+    return g, lambda i: i, lambda g_: g_  # full (B, H, L, L)
+
+
+def _pick_group(bh: int, h: int, bias_b: int, bias_h: int, row_bytes: int, bias_block_bytes: int) -> int:
+    """Largest group size whose resident blocks fit the VMEM budget."""
+    for g in _GROUP_CANDIDATES:
+        if bh % g:
+            continue
+        if (bias_b > 1 or bias_h > 1) and not (g % h == 0 or h % g == 0):
+            continue
+        bias_rows = _bias_group_layout(bias_b, bias_h, h, g)[0]
+        if g * row_bytes + bias_rows * bias_block_bytes <= _GROUP_VMEM_BUDGET:
+            return g
+    return 1
 
 
 def _pallas_attention(
@@ -143,20 +194,36 @@ def _pallas_attention(
 
     n_q_blocks = pl.cdiv(l, block_q)
 
+    itemsize = jnp.dtype(q.dtype).itemsize
+    block_bytes = (2 * block_q * dh) * itemsize + 2 * l * dh * itemsize  # q+out, k+v
+    row_bytes = 2 * block_bytes + _TEMP_TILES_PER_ROW * block_q * l * 4
+    g_rows = _pick_group(bh, h, bias_b, bias_h, row_bytes, block_q * l * 4)
+    bias_rows, bias_block_index, bias_row_of = _bias_group_layout(bias_b, bias_h, h, g_rows)
+
+    def bias_index(i, j, *_):
+        return (bias_block_index(i), j, 0)
+
     out, lse = pl.pallas_call(
-        partial(_attn_fwd_kernel, scale=scale, dropout_rate=dropout_rate, block_q=block_q),
+        partial(
+            _attn_fwd_kernel,
+            scale=scale,
+            dropout_rate=dropout_rate,
+            block_q=block_q,
+            g_rows=g_rows,
+            bias_row_of=bias_row_of,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bh, n_q_blocks),
+            grid=(bh // g_rows, n_q_blocks),
             in_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, block_q, l), _bias_index_fn(bias_b, bias_h, h)),
+                pl.BlockSpec((g_rows, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((bias_rows, block_q, l), bias_index),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((g_rows, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((g_rows, 1, block_q), lambda i, j, *_: (i, 0, j)),
             ],
         ),
         out_shape=[
@@ -170,70 +237,79 @@ def _pallas_attention(
 
 def _attn_bwd_kernel(
     seed_ref,
-    q_ref,  # (1, L_pad, dh)
-    k_ref,  # (1, L, dh)
-    v_ref,  # (1, L, dh)
-    bias_ref,  # (1, L_pad, L)
-    lse_ref,  # (1, 1, L_pad) — padded rows hold +inf-ish so p == 0 there
-    delta_ref,  # (1, 1, L_pad)
-    do_ref,  # (1, L_pad, dh)
-    dq_ref,  # (1, L_pad, dh)
-    dk_ref,  # (1, L, dh)
-    dv_ref,  # (1, L, dh)
+    q_ref,  # (G, L_pad, dh)
+    k_ref,  # (G, L, dh)
+    v_ref,  # (G, L, dh)
+    bias_ref,  # (bias_rows, L_pad, L)
+    lse_ref,  # (G, 1, L_pad) — padded rows hold +inf-ish so p == 0 there
+    delta_ref,  # (G, 1, L_pad)
+    do_ref,  # (G, L_pad, dh)
+    dq_ref,  # (G, L_pad, dh)
+    dk_ref,  # (G, L, dh)
+    dv_ref,  # (G, L, dh)
     *,
     scale: float,
     dropout_rate: float,
     block_q: int,
     n_q_blocks: int,
+    g_rows: int,
+    bias_row_of: tp.Callable[[int], int],
 ):
-    """One program per batch*head row: loop q blocks, recompute probabilities
-    from lse, regenerate the dropout mask, accumulate dk/dv in VMEM."""
+    """One program per group of ``g_rows`` batch*head rows: loop q blocks,
+    recompute probabilities from lse, regenerate the dropout mask, accumulate
+    dk/dv in VMEM. Row grouping amortizes program-launch overhead exactly as
+    in the forward."""
     i = pl.program_id(0)
-    k = k_ref[0]  # (L, dh)
-    v = v_ref[0]
-    l_total = k.shape[0]
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
-    dk_ref[0] = jnp.zeros_like(dk_ref[0])
-    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    for g in range(g_rows):  # static unroll
+        k = k_ref[g]  # (L, dh)
+        v = v_ref[g]
+        l_total = k.shape[0]
+        bias_row = bias_row_of(g)
 
-    def body(qi, _):
-        rows = pl.ds(qi * block_q, block_q)
-        q_blk = q_ref[0, rows, :]  # (block_q, dh)
-        do_blk = do_ref[0, rows, :]
-        lse_blk = lse_ref[0, 0, rows]
-        delta_blk = delta_ref[0, 0, rows]
-        s = (
-            jax.lax.dot_general(
-                q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-            + bias_ref[0, rows, :]
-        )
-        p = jnp.exp(s - lse_blk[:, None])  # normalized probs; 0 on padded rows
-        dp = jax.lax.dot_general(
-            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if dropout_rate > 0.0:
-            keep = dropout_keep_mask(seed_ref[0], i, qi * block_q, block_q, l_total, dropout_rate)
-            p_dropped = p * keep * inv_keep
-            dp = dp * keep * inv_keep
-        else:
-            p_dropped = p
-        dv_ref[0] += jax.lax.dot_general(
-            p_dropped, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
-        ds = p * (dp - delta_blk[:, None])
-        dq_ref[0, rows, :] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-        dk_ref[0] += (
-            jax.lax.dot_general(
-                ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        ).astype(dk_ref.dtype)
-        return 0
+        dk_ref[g] = jnp.zeros_like(dk_ref[g])
+        dv_ref[g] = jnp.zeros_like(dv_ref[g])
 
-    jax.lax.fori_loop(0, n_q_blocks, body, 0)
+        def body(qi, _, g=g, k=k, v=v, l_total=l_total, bias_row=bias_row):
+            rows = pl.ds(qi * block_q, block_q)
+            q_blk = q_ref[g, rows, :]  # (block_q, dh)
+            do_blk = do_ref[g, rows, :]
+            lse_blk = lse_ref[g, 0, rows]
+            delta_blk = delta_ref[g, 0, rows]
+            s = (
+                jax.lax.dot_general(
+                    q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+                + bias_ref[bias_row, rows, :]
+            )
+            p = jnp.exp(s - lse_blk[:, None])  # normalized probs; 0 on padded rows
+            dp = jax.lax.dot_general(
+                do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if dropout_rate > 0.0:
+                keep = dropout_keep_mask(
+                    seed_ref[0], i * g_rows + g, qi * block_q, block_q, l_total, dropout_rate
+                )
+                p_dropped = p * keep * inv_keep
+                dp = dp * keep * inv_keep
+            else:
+                p_dropped = p
+            dv_ref[g] += jax.lax.dot_general(
+                p_dropped, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(dv_ref.dtype)
+            ds = p * (dp - delta_blk[:, None])
+            dq_ref[g, rows, :] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+            dk_ref[g] += (
+                jax.lax.dot_general(
+                    ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            ).astype(dk_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_q_blocks, body, 0)
 
 
 def _pallas_attention_bwd(
@@ -274,11 +350,14 @@ def _pallas_attention_bwd(
         delta3 = jnp.pad(delta3, ((0, 0), (0, 0), (0, pad)))
         bias3 = jnp.pad(bias3, ((0, 0), (0, pad), (0, 0)))
 
-    bias_q_index = _bias_index_fn(bias_b, bias_h, h)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    block_bytes = (3 * l_pad * dh + 4 * l * dh) * itemsize  # q,do,dq + k,v,dk,dv
+    row_bytes = 2 * block_bytes + _TEMP_TILES_PER_ROW * block_q * l * 4
+    g_rows = _pick_group(bh, h, bias_b, bias_h, row_bytes, l_pad * l * 4)
+    bias_rows, bias_block_index, bias_row_of = _bias_group_layout(bias_b, bias_h, h, g_rows)
 
     def bias_row_index(i, *_):
-        # same broadcast mapping as the forward, full row range per program
-        return bias_q_index(i, 0)
+        return (bias_block_index(i), 0, 0)
 
     dq, dk, dv = pl.pallas_call(
         partial(
@@ -287,23 +366,25 @@ def _pallas_attention_bwd(
             dropout_rate=dropout_rate,
             block_q=block_q,
             n_q_blocks=n_q_blocks,
+            g_rows=g_rows,
+            bias_row_of=bias_row_of,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bh,),
+            grid=(bh // g_rows,),
             in_specs=[
-                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l_pad, l), bias_row_index),
-                pl.BlockSpec((1, 1, l_pad), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, 1, l_pad), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((bias_rows, l_pad, l), bias_row_index),
+                pl.BlockSpec((g_rows, 1, l_pad), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, 1, l_pad), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, l_pad, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
             ],
         ),
         out_shape=[
@@ -431,6 +512,22 @@ def _fused_attention_bwd(scale, dropout_rate, block_q, interpret, bias_has_grad,
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def _prefer_xla_attention(b: int, h: int, l: int) -> bool:
+    """Shape dispatch between the Pallas kernel and the XLA-math path.
+
+    Measured on v5e (benchmarks/attention_micro.py, fwd+bwd, f32): at recsys
+    shapes the per-program launch overhead dominates the Pallas kernel —
+    XLA wins 1.4-1.7x at L=100 even with row grouping (group sizes beyond
+    ~16 exceed the scoped-VMEM stack), while the grouped kernel ties XLA at
+    L=256 and wins 1.2-1.4x from L=512 up (and is the only option once the
+    (B, H, L, L) score tensor stops fitting HBM comfortably). Both paths
+    share the counter-hash dropout bits, so dispatch never changes training
+    semantics.
+    """
+    score_bytes = b * h * l * l * 4
+    return l < 256 and score_bytes <= (1 << 30)
+
+
 def dot_product_attention(
     q: jnp.ndarray,  # (B, L, H, dh) — "BLHD" layout used by the MHA module
     k: jnp.ndarray,
@@ -452,7 +549,7 @@ def dot_product_attention(
     """
     b, l, h, dh = q.shape
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = jax.default_backend() == "tpu" and not _prefer_xla_attention(b, h, l)
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires a dropout_seed")
     qt = q.transpose(0, 2, 1, 3)

@@ -211,3 +211,74 @@ class TestDefaultTrainingPathUsesKernel:
         # and inference stays dropout-free
         mha.apply(params, x, x, x, None, True)
         assert calls["dropout_rate"] == 0.0
+
+
+class TestGroupedPrograms:
+    """Row-grouped kernel layouts (G batch*head rows per program)."""
+
+    @pytest.mark.parametrize("bias_b,bias_h", [(2, 1), (1, 4), (2, 4), (1, 1)])
+    def test_group_smaller_than_heads(self, monkeypatch, bias_b, bias_h) -> None:
+        # force G=2 with H=4 to exercise the H % G == 0 bias layouts
+        import rectools_tpu.ops.attention as attention_mod
+
+        monkeypatch.setattr(attention_mod, "_GROUP_CANDIDATES", (2,))
+        q, k, v, bias = _inputs(b=2, h=4, l=64, dh=32, bias_b=bias_b, bias_h=bias_h)
+        scale = 1.0 / np.sqrt(32)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True, False) ** 2)
+
+        def loss_ref(q, k, v):
+            out, _ = _reference_attention(q, k, v, bias, scale)
+            return jnp.sum(out**2)
+
+        np.testing.assert_allclose(
+            np.asarray(fused_attention(q, k, v, bias, NO_SEED, scale, 0.0, 64, True, False)),
+            np.asarray(_reference_attention(q, k, v, bias, scale)[0]),
+            atol=1e-5,
+        )
+        for gf, gr in zip(
+            jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v),
+            jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v),
+        ):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
+
+    @pytest.mark.parametrize("bias_b,bias_h", [(2, 1), (1, 4)])
+    def test_group_larger_than_heads_with_dropout(self, bias_b, bias_h) -> None:
+        # default picker groups all 8 rows (G=8, H=4): G % H == 0 layouts,
+        # dropout bits must still match the XLA full-mask path exactly
+        q, k, v, bias = _inputs(b=2, h=4, l=64, dh=32, bias_b=bias_b, bias_h=bias_h)
+        scale = 1.0 / np.sqrt(32)
+        got = fused_attention(q, k, v, bias, SEED, scale, 0.3, 64, True, False)
+        expected, _ = _reference_attention(q, k, v, bias, scale, 0.3, SEED)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+    def test_group_layout_helper(self) -> None:
+        from rectools_tpu.ops.attention import _bias_group_layout
+
+        # shared bias: single row regardless of grouping
+        rows, block_of, row_of = _bias_group_layout(1, 1, 4, 8)
+        assert (rows, block_of(3), row_of(5)) == (1, 0, 0)
+        # per-batch, G >= H: one bias row per batch in the group
+        rows, block_of, row_of = _bias_group_layout(8, 1, 4, 8)
+        assert (rows, block_of(2), row_of(5)) == (2, 2, 1)
+        # per-batch, G < H: all G rows share one batch
+        rows, block_of, row_of = _bias_group_layout(8, 1, 4, 2)
+        assert (rows, block_of(3), row_of(1)) == (1, 1, 0)
+        # per-head, G >= H: all H rows resident, row = g % H
+        rows, block_of, row_of = _bias_group_layout(1, 4, 4, 8)
+        assert (rows, block_of(7), row_of(6)) == (4, 0, 2)
+        # per-head, G < H: G consecutive head rows
+        rows, block_of, row_of = _bias_group_layout(1, 4, 4, 2)
+        assert (rows, block_of(3), row_of(1)) == (2, 1, 1)
+
+    def test_shape_dispatch_prefers_xla_at_short_l(self) -> None:
+        # measured crossover (benchmarks/attention_micro.py): XLA wins below
+        # L~512; Pallas wins at long L or when score tensors outgrow HBM
+        from rectools_tpu.ops.attention import _prefer_xla_attention
+
+        assert _prefer_xla_attention(512, 4, 100)  # headline shape
+        assert not _prefer_xla_attention(128, 4, 256)  # grouped kernel ties XLA here
+        assert not _prefer_xla_attention(32, 4, 512)
+        assert not _prefer_xla_attention(8, 4, 1024)
+        assert not _prefer_xla_attention(16384, 8, 300)  # score tensor > 1 GB
