@@ -54,7 +54,7 @@ TRAIN_CONFIGS = {
 STEPS = 30
 
 
-def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str):
+def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -95,7 +95,13 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str):
                     lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, p
                 )
             rngs = None if dropout_rate == 0.0 else {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), step_idx)}
-            s_t, i_t = backbone.apply({"params": p}, batch, method=towers, rngs=rngs)
+
+            def towers_value(p, b, r):
+                return backbone.apply({"params": p}, b, method=towers, rngs=r)
+
+            if remat:  # backward recomputes the towers: B*L*D activations stay out of HBM
+                towers_value = jax.checkpoint(towers_value)
+            s_t, i_t = towers_value(p, batch, rngs)
             # towers stay at the working precision into the loss — matching
             # TransformerTrainingModule: the streaming-lse matmuls accumulate
             # f32 from bf16 operands at MXU bf16 rate
@@ -116,10 +122,10 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str):
     return multi_step, params, opt_state
 
 
-def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32"):
+def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False):
     import jax
 
-    multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype)
+    multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype, remat)
     # Analytic FLOPs (XLA's cost_analysis counts lax.scan bodies once, not
     # once per iteration, so it is useless for a scanned train step):
     # fwd+bwd ~ 3x forward; forward = catalog logits (2*B*L*N*D) + per-block
@@ -246,6 +252,13 @@ def run_tpu_suite():
     log(f"train_kion_bf16: {out['train_kion_bf16']}")
     out["train_kion_no_dropout"] = bench_train(TRAIN_CONFIGS["kion"], dropout_rate=0.0)
     log(f"train_kion_no_dropout: {out['train_kion_no_dropout']}")
+    # B=512 at ML-20M scale OOMs 16 GB HBM without remat (activations +
+    # f32 Adam state + lse workspace); jax.checkpoint makes it fit.
+    ml20m_b512 = dict(TRAIN_CONFIGS["ml20m_large"], B=512)
+    out["train_ml20m_b512_remat"] = bench_train(ml20m_b512, remat=True)
+    log(f"train_ml20m_b512_remat: {out['train_ml20m_b512_remat']}")
+    out["train_ml20m_b512_remat_bf16"] = bench_train(ml20m_b512, compute_dtype="bfloat16", remat=True)
+    log(f"train_ml20m_b512_remat_bf16: {out['train_ml20m_b512_remat_bf16']}")
     out["attention_micro"] = bench_attention_micro()
     log(f"attention: {out['attention_micro']}")
     out["serving"] = bench_serving()

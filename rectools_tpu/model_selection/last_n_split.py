@@ -56,22 +56,44 @@ class LastNSplitter(Splitter):
         self.n = n
         self.n_splits = n_splits
 
+    @staticmethod
+    def _recency_per_user(users: np.ndarray, datetimes: np.ndarray) -> np.ndarray:
+        """Per-row recency within each user's history: 1 = newest interaction.
+
+        Tied datetimes keep table order (the later table row is the more
+        recent one) via the stable lexsort key, so the semantics match the
+        reference's ``rank(method="first")`` contract without a groupby.
+        """
+        n_rows = users.shape[0]
+        row_pos = np.arange(n_rows)
+        order = np.lexsort((row_pos, datetimes, users))
+        sorted_users = users[order]
+        is_head = np.empty(n_rows, dtype=bool)
+        if n_rows:
+            is_head[0] = True
+            is_head[1:] = sorted_users[1:] != sorted_users[:-1]
+        head_pos = np.flatnonzero(is_head)
+        group_of = np.cumsum(is_head) - 1
+        group_end = np.append(head_pos[1:], n_rows)
+        # Distance from the end of the user's sorted run, counted from 1.
+        recency_sorted = group_end[group_of] - row_pos
+        recency = np.empty(n_rows, dtype=np.int64)
+        recency[order] = recency_sorted
+        return recency
+
     def _split_without_filter(
         self,
         interactions: Interactions,
         collect_fold_stats: bool = False,
     ) -> tp.Iterator[tp.Tuple[np.ndarray, np.ndarray, tp.Dict[str, tp.Any]]]:
         df = interactions.df
-        idx = pd.RangeIndex(0, len(df))
-        grouped = df.groupby(Columns.User)
-        # "first" rank => ties keep table order (stable guarantee)
-        time_order = grouped[Columns.Datetime].rank(method="first", ascending=True).astype(int)
-        n_interactions = grouped[Columns.User].transform("size").astype(int)
-        inv_ranks = n_interactions - time_order + 1
-
-        for i_split in range(self.n_splits)[::-1]:
-            min_rank = i_split * self.n  # excluded
-            max_rank = min_rank + self.n  # included
-            test_mask = (inv_ranks > min_rank) & (inv_ranks <= max_rank)
-            train_mask = inv_ranks > max_rank
-            yield idx[train_mask].values, idx[test_mask].values, {"i_split": self.n_splits - i_split - 1}
+        recency = self._recency_per_user(
+            df[Columns.User].to_numpy(),
+            df[Columns.Datetime].to_numpy(),
+        )
+        # Fold 0 tests the oldest window of the sliding scheme; the newest
+        # ``(fold index from the end) * n`` interactions are dropped entirely.
+        for fold, window_hi in enumerate(range(self.n_splits * self.n, 0, -self.n)):
+            in_test = (recency <= window_hi) & (recency > window_hi - self.n)
+            in_train = recency > window_hi
+            yield np.flatnonzero(in_train), np.flatnonzero(in_test), {"i_split": fold}

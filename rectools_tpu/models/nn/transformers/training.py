@@ -106,6 +106,7 @@ class TransformerTrainingModuleBase:
         fused_softmax_chunk: tp.Optional[int] = 2048,
         callbacks: tp.Optional[tp.Sequence["TrainingCallback"]] = None,
         val_recall_k: tp.Optional[int] = None,
+        remat: bool = False,
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
@@ -130,6 +131,12 @@ class TransformerTrainingModuleBase:
         # shapes that array is tens of MB per step of pure H2D traffic.
         # Applies only to CatalogUniformSampler; custom samplers stay on host.
         self.negatives_on_device = negatives_on_device
+        # Gradient rematerialization: the backward recomputes the tower
+        # forward instead of keeping its per-block activations in HBM —
+        # trades one extra forward of FLOPs for O(n_blocks * B * L * D) of
+        # activation memory. This is the knob that fits large-batch /
+        # long-context configs (e.g. ML-20M-scale at B=512) on one chip.
+        self.remat = remat
         self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
         self._mesh = None
         # "bfloat16" runs the forward/backward matmuls in the MXU's native
@@ -244,7 +251,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             session_embs = module.encode_sessions(batch, item_embs, deterministic=deterministic)
             return module.similarity_module.catalog_loss_towers(session_embs, item_embs)
 
-        s_t, i_t = self.backbone.apply({"params": params}, batch, method=towers, rngs=rngs)
+        def towers_value(p: Params, b: tp.Dict[str, jnp.ndarray], r: tp.Optional[tp.Dict[str, jax.Array]]):
+            return self.backbone.apply({"params": p}, b, method=towers, rngs=r)
+
+        if self.remat and not deterministic:
+            towers_value = jax.checkpoint(towers_value)
+        s_t, i_t = towers_value(params, batch, rngs)
         # Under bf16 compute the towers STAY bf16 into the lse: every matmul
         # in the streaming kernel / XLA chunk scan accumulates f32 via
         # preferred_element_type, so the dominant (B*L, N) logit product runs
@@ -329,13 +341,23 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                     raise ValueError("neg_rng required when negatives are sampled on device")
                 negatives = self._draw_device_negatives(batch, neg_rng)
             pos_neg = jnp.concatenate([y[..., None], negatives], axis=-1)
-            logits = self.backbone.apply(
-                {"params": params}, batch, candidate_item_ids=pos_neg, deterministic=deterministic, rngs=rngs
-            )
+
+            def forward(p: Params, b: tp.Dict[str, jnp.ndarray], cand: jnp.ndarray, r: tp.Any):
+                return self.backbone.apply(
+                    {"params": p}, b, candidate_item_ids=cand, deterministic=deterministic, rngs=r
+                )
+
+            if self.remat and not deterministic:
+                forward = jax.checkpoint(forward)
+            logits = forward(params, batch, pos_neg, rngs)
         else:
-            logits = self.backbone.apply(
-                {"params": params}, batch, deterministic=deterministic, rngs=rngs
-            )
+
+            def forward(p: Params, b: tp.Dict[str, jnp.ndarray], r: tp.Any):
+                return self.backbone.apply({"params": p}, b, deterministic=deterministic, rngs=r)
+
+            if self.remat and not deterministic:
+                forward = jax.checkpoint(forward)
+            logits = forward(params, batch, rngs)
         return logits.astype(jnp.float32) / self.logits_t
 
     # ------------------------------------------------------------- jitted steps

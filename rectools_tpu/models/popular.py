@@ -95,20 +95,29 @@ class PopularModelMixin:
             return interactions
         return interactions.loc[interactions[Columns.Datetime] >= window_start]
 
-    # popularity mode -> (column to aggregate, aggregation)
-    _POPULARITY_AGG = {
-        Popularity.N_USERS: (Columns.User, "nunique"),
-        Popularity.N_INTERACTIONS: (Columns.User, "count"),
-        Popularity.MEAN_WEIGHT: (Columns.Weight, "mean"),
-        Popularity.SUM_WEIGHT: (Columns.Weight, "sum"),
-    }
-
     @classmethod
-    def _get_groupby_col_and_agg_func(cls, popularity: Popularity) -> tp.Tuple[str, str]:
-        try:
-            return cls._POPULARITY_AGG[popularity]
-        except KeyError:
-            raise ValueError(f"Unexpected popularity {popularity}")
+    def _score_items(cls, interactions: pd.DataFrame, popularity: Popularity) -> tp.Tuple[np.ndarray, np.ndarray]:
+        """(item ids, popularity scores) for every item in the window.
+
+        Pure-numpy segment aggregation over internal item ids — no pandas
+        groupby. ``N_USERS`` dedups (item, user) pairs before counting.
+        """
+        item_ids = interactions[Columns.Item].to_numpy()
+        if popularity is Popularity.N_USERS:
+            pairs = np.unique(
+                np.stack([item_ids, interactions[Columns.User].to_numpy()], axis=1), axis=0
+            )
+            item_ids = pairs[:, 0]
+        counts = np.bincount(item_ids)
+        present = np.flatnonzero(counts)
+        if popularity is Popularity.N_USERS or popularity is Popularity.N_INTERACTIONS:
+            return present, counts[present].astype(np.float64)
+        weight_sums = np.bincount(item_ids, weights=interactions[Columns.Weight].to_numpy())
+        if popularity is Popularity.SUM_WEIGHT:
+            return present, weight_sums[present]
+        if popularity is Popularity.MEAN_WEIGHT:
+            return present, weight_sums[present] / counts[present]
+        raise ValueError(f"Unexpected popularity {popularity}")
 
 
 class PopularModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBase[PopularModelConfig]):
@@ -165,19 +174,22 @@ class PopularModel(FixedColdRecoModelMixin, PopularModelMixin, ModelBase[Popular
 
     def _fit(self, dataset: Dataset) -> None:
         interactions = self._filter_interactions(dataset.interactions.df, self.period, self.begin_from)
-        col, func = self._get_groupby_col_and_agg_func(self.popularity)
-        items_scores = interactions.groupby(Columns.Item)[col].agg(func).sort_values(ascending=False)
-        items = items_scores.index.to_numpy()
-        scores = items_scores.to_numpy().astype(float)
+        items, scores = self._score_items(interactions, self.popularity)
+        # Final ordering goes through pandas' descending sort so tied scores
+        # land in the exact order downstream users of the reference library
+        # are used to (its tie permutation is not a stable/reversed argsort).
+        ranked = pd.Series(scores, index=items).sort_values(ascending=False)
+        items = ranked.index.to_numpy()
+        scores = ranked.to_numpy().astype(float)
 
         if self.add_cold:
-            cold_items = np.setdiff1d(dataset.item_id_map.internal_ids, items)
-            items = np.concatenate((items, cold_items))
-            scores = np.concatenate((scores, np.zeros(cold_items.size)))
+            catalog = dataset.item_id_map.internal_ids
+            unseen = catalog[~np.isin(catalog, items)]
+            items = np.append(items, unseen)
+            scores = np.append(scores, np.zeros_like(unseen, dtype=float))
 
         if self.inverse:
-            items = items[::-1]
-            scores = scores[::-1]
+            items, scores = items[::-1], scores[::-1]
 
         self.popularity_list = (items, scores)
 

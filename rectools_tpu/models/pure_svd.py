@@ -1,9 +1,13 @@
 """PureSVD matrix factorization (https://dl.acm.org/doi/10.1145/1864708.1864721).
 
 Behavioral parity with reference rectools/models/pure_svd.py:88-187. The
-ARPACK/cupy `svds` call becomes a TPU eigh of the item Gram matrix
-(ops/linalg.py `truncated_svd`); factor conventions match the reference:
-user_factors = U, item_factors = V diag(s); DOT for u2i, COSINE for i2i.
+ARPACK/cupy `svds` call becomes a device eigh of the item Gram matrix
+(ops/linalg.py `truncated_svd`): exact eigh for small catalogs, randomized
+subspace iteration (MXU matmuls + Cholesky-QR, milliseconds where TPU's full
+eigh takes minutes) beyond ~1k items. ``tol``/``maxiter`` map to the
+iteration's convergence knobs like the reference maps them to ARPACK.
+Factor conventions match the reference: user_factors = U,
+item_factors = V diag(s); DOT for u2i, COSINE for i2i.
 """
 
 import typing as tp
@@ -87,7 +91,14 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             from ..parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
-        self.user_factors, self.item_factors = truncated_svd(ui_csr, self.factors, mesh=mesh)
+        self.user_factors, self.item_factors = truncated_svd(
+            ui_csr,
+            self.factors,
+            mesh=mesh,
+            tol=self.tol,
+            maxiter=self.maxiter,
+            random_state=self.random_state,
+        )
 
     def _get_users_factors(self, dataset: Dataset) -> Factors:
         return Factors(self.user_factors)

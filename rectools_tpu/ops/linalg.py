@@ -62,15 +62,64 @@ def gram_matrix(
     return gram
 
 
+# Below this size the direct (Cholesky / full-eigh) XLA factorizations are
+# fast and bit-stable, and the parity tests pin their exact outputs. Above it,
+# TPU's sequential-panel factorizations fall off a cliff (measured at
+# n=3706 on v5e: eigh 218 s, cho_solve 33 s) while the iterative MXU-matmul
+# algorithms below converge to ~1e-7 in well under a second.
+_DIRECT_SOLVER_MAX_N = 1024
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _spd_inverse_newton(a: jax.Array, maxiter: int, tol: jax.Array) -> jax.Array:
+    """SPD inverse by Newton–Schulz iteration: X <- X (2I - A X).
+
+    Quadratically convergent from the universal seed X0 = A^T / (|A|_1 |A|_inf)
+    and self-correcting in f32 — every step is two (n, n) MXU matmuls, which is
+    the shape TPU factorizations cannot reach (they serialize on panels).
+    Stops when max|A X - I| <= tol or after ``maxiter`` steps.
+    """
+    n = a.shape[0]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    x0 = a.T / (jnp.max(jnp.sum(jnp.abs(a), axis=0)) * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
+
+    def cond(state):
+        i, _, residual = state
+        return (i < maxiter) & (residual > tol)
+
+    def body(state):
+        i, x, _ = state
+        ax = jnp.dot(a, x, precision=_HI)
+        x_next = jnp.dot(x, 2.0 * eye - ax, precision=_HI)
+        return i + 1, x_next, jnp.max(jnp.abs(ax - eye))
+
+    _, x, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, jnp.float32(jnp.inf)))
+    return x
+
+
 @jax.jit
-def _ease_weight_from_gram(gram: jax.Array, regularization: jax.Array) -> jax.Array:
-    n = gram.shape[0]
-    g = gram + regularization * jnp.eye(n, dtype=jnp.float32)
-    # SPD inverse via Cholesky: solve G P = I.
-    p = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(g, lower=True), jnp.eye(n, dtype=jnp.float32))
+def _spd_inverse_cholesky(a: jax.Array) -> jax.Array:
+    n = a.shape[0]
+    return jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(a, lower=True), jnp.eye(n, dtype=jnp.float32)
+    )
+
+
+def spd_inverse(a: jax.Array, maxiter: int = 200, tol: float = 1e-6) -> jax.Array:
+    """Inverse of a symmetric positive-definite matrix on device.
+
+    Direct Cholesky solve up to `_DIRECT_SOLVER_MAX_N`; Newton–Schulz beyond
+    (TPU-native: all MXU matmuls, no sequential panel factorization).
+    """
+    if a.shape[0] <= _DIRECT_SOLVER_MAX_N:
+        return _spd_inverse_cholesky(a)
+    return _spd_inverse_newton(a, maxiter, jnp.float32(tol))
+
+
+@jax.jit
+def _ease_weight_from_inverse(p: jax.Array) -> jax.Array:
     w = p / (-jnp.diag(p))[None, :]
-    w = w - jnp.diag(jnp.diag(w))
-    return w
+    return w - jnp.diag(jnp.diag(w))
 
 
 def ease_weight(
@@ -79,8 +128,9 @@ def ease_weight(
     """EASE closed-form weights: W = G^-1 / (-diag(G^-1)), zero diagonal
     (same row/column normalization convention as reference ease.py:122-132)."""
     gram = gram_matrix(ui_csr, mesh=mesh)
-    w = _ease_weight_from_gram(gram, jnp.float32(regularization))
-    return np.asarray(w)
+    n = gram.shape[0]
+    p = spd_inverse(gram + jnp.float32(regularization) * jnp.eye(n, dtype=jnp.float32))
+    return np.asarray(_ease_weight_from_inverse(p))
 
 
 @partial(jax.jit, static_argnames=("factors",))
@@ -91,8 +141,89 @@ def _topk_eigh(gram: jax.Array, factors: int) -> tp.Tuple[jax.Array, jax.Array]:
     return top, vecs
 
 
+@partial(jax.jit, static_argnames=("factors", "oversample", "maxiter"))
+def _subspace_topk_eigh(
+    gram: jax.Array, factors: int, oversample: int, maxiter: int, tol: jax.Array, seed: jax.Array
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Top-`factors` eigenpairs of a PSD Gram by randomized subspace iteration.
+
+    Every step is one (n, n) x (n, k) MXU matmul plus a Cholesky-QR
+    re-orthonormalization of the tall-skinny block — the factorizations stay
+    at size k, never n, so this runs in milliseconds where TPU's full eigh
+    takes minutes (measured: 218 s at n=3706 on v5e). Convergence is tracked
+    on the per-column Rayleigh quotients of the leading `factors` columns;
+    the loop stops when their max relative change drops below ``tol``.
+    """
+    n = gram.shape[0]
+    k = min(factors + oversample, n)
+    eye_k = jnp.eye(k, dtype=jnp.float32)
+
+    def ortho(y: jax.Array) -> jax.Array:
+        # Cholesky QR: one small (k, k) factorization per step, MXU-friendly.
+        b = jnp.dot(y.T, y, precision=_HI)
+        shift = 1e-6 * jnp.trace(b) / k
+        chol = jnp.linalg.cholesky(b + shift * eye_k)
+        return jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T
+
+    q0 = ortho(jax.random.normal(jax.random.PRNGKey(seed), (n, k), dtype=jnp.float32))
+    y0 = jnp.dot(gram, q0, precision=_HI)
+
+    def cond(state):
+        i, _, _, delta = state
+        return (i < maxiter) & (delta > tol)
+
+    def body(state):
+        i, q, y, _ = state
+        q_next = ortho(y)
+        y_next = jnp.dot(gram, q_next, precision=_HI)
+        # Rayleigh quotients come free from the y needed next step.
+        rq_prev = jnp.sum(q * y, axis=0)
+        rq_next = jnp.sum(q_next * y_next, axis=0)
+        lead_prev = jax.lax.top_k(rq_prev, factors)[0]
+        lead_next = jax.lax.top_k(rq_next, factors)[0]
+        delta = jnp.max(jnp.abs(lead_next - lead_prev) / jnp.maximum(jnp.abs(lead_next), 1e-30))
+        return i + 1, q_next, y_next, delta
+
+    _, q, y, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), q0, y0, jnp.float32(jnp.inf)))
+    # Rayleigh–Ritz on the converged subspace: a k x k eigh, not n x n.
+    b = jnp.dot(q.T, y, precision=_HI)
+    b = (b + b.T) / 2.0
+    w, u = jnp.linalg.eigh(b)
+    vals = w[-factors:][::-1]
+    vecs = jnp.dot(q, u, precision=_HI)[:, -factors:][:, ::-1]
+    return vals, vecs
+
+
+def topk_eigh(
+    gram: jax.Array,
+    factors: int,
+    tol: float = 0.0,
+    maxiter: tp.Optional[int] = None,
+    seed: int = 0,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Leading eigenpairs of a PSD matrix: exact eigh for small matrices,
+    randomized subspace iteration (MXU matmuls only) beyond
+    `_DIRECT_SOLVER_MAX_N`. ``tol``/``maxiter`` mirror the reference's ARPACK
+    knobs (pure_svd.py:158-164): tol 0 means "to numerical convergence"
+    (mapped to 1e-7 relative Rayleigh-quotient change)."""
+    if gram.shape[0] <= _DIRECT_SOLVER_MAX_N and maxiter is None:
+        return _topk_eigh(gram, factors)
+    tol_eff = 1e-7 if tol == 0 else float(tol)
+    maxiter_eff = 300 if maxiter is None else int(maxiter)
+    oversample = int(min(max(16, factors // 2), gram.shape[0] - factors))
+    return _subspace_topk_eigh(
+        gram, factors, oversample, maxiter_eff, jnp.float32(tol_eff), jnp.uint32(seed)
+    )
+
+
 def truncated_svd(
-    ui_csr: sparse.csr_matrix, factors: int, block_rows: int = 8192, mesh: tp.Optional[Mesh] = None
+    ui_csr: sparse.csr_matrix,
+    factors: int,
+    block_rows: int = 8192,
+    mesh: tp.Optional[Mesh] = None,
+    tol: float = 0.0,
+    maxiter: tp.Optional[int] = None,
+    random_state: tp.Optional[int] = None,
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
     """Truncated SVD X ~= U diag(s) V^T via eigh of the item Gram.
 
@@ -103,7 +234,9 @@ def truncated_svd(
     if factors > min(n_users, n_items) - 1:
         raise ValueError("`factors` must be less than min(n_users, n_items)")
     gram = gram_matrix(ui_csr, block_rows, mesh=mesh)
-    eigvals, v = _topk_eigh(gram, factors)
+    eigvals, v = topk_eigh(
+        gram, factors, tol=tol, maxiter=maxiter, seed=0 if random_state is None else int(random_state)
+    )
     eigvals = np.asarray(eigvals)
     v = np.asarray(v)
     sigma = np.sqrt(np.clip(eigvals, 0.0, None))

@@ -262,6 +262,40 @@ class TestTransformerModels:
         with pytest.raises(NotFittedError):
             model.recommend([10], DATASET, k=2, filter_viewed=False)
 
+    @pytest.mark.parametrize("loss", ["softmax", "sampled_softmax"])
+    def test_remat_matches_plain_training(self, loss) -> None:
+        """remat=True recomputes activations in the backward; the training
+        trajectory must be numerically identical to the default path."""
+        kwargs = {**TINY, "epochs": 2, "dropout_rate": 0.2, "loss": loss}
+        if loss == "sampled_softmax":
+            kwargs["n_negatives"] = 2
+        plain = SASRecModel(**kwargs)
+        plain.fit(DATASET)
+        remat = SASRecModel(training_module_kwargs={"remat": True}, **kwargs)
+        remat.fit(DATASET)
+        np.testing.assert_allclose(
+            plain.training_module.train_loss_history,
+            remat.training_module.train_loss_history,
+            rtol=1e-6,
+        )
+        users = DATASET.user_id_map.external_ids
+        assert_reco_equal(
+            plain.recommend(users, DATASET, 2, filter_viewed=False),
+            remat.recommend(users, DATASET, 2, filter_viewed=False),
+        )
+
+    def test_remat_with_fused_softmax_chunking(self) -> None:
+        kwargs = {**TINY, "dropout_rate": 0.2}
+        plain = SASRecModel(training_module_kwargs={"fused_softmax_chunk": 4}, **kwargs)
+        plain.fit(DATASET)
+        remat = SASRecModel(training_module_kwargs={"fused_softmax_chunk": 4, "remat": True}, **kwargs)
+        remat.fit(DATASET)
+        np.testing.assert_allclose(
+            plain.training_module.train_loss_history,
+            remat.training_module.train_loss_history,
+            rtol=1e-6,
+        )
+
 
 class TestHSTU:
     def test_requires_context(self) -> None:
