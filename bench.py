@@ -47,9 +47,11 @@ def bench_jax() -> float:
         "y": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
         "yw": jnp.ones((B, L), jnp.float32),
     }
+    # init on 8 rows: flax init runs the forward eagerly (un-jitted), so a
+    # full-batch init would materialize the (B, L, n_items) catalog logits
     params = backbone.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        {"x": batch["x"]},
+        {"x": batch["x"][:8]},
         deterministic=False,
     )["params"]
     tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer

@@ -72,9 +72,11 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
         "y": jnp.asarray(rng.integers(1, cfg["N"], size=(cfg["B"], cfg["L"]))),
         "yw": jnp.ones((cfg["B"], cfg["L"]), jnp.float32),
     }
+    # init on 8 rows: flax init runs the forward eagerly, and the full-catalog
+    # logits at B=512 x L=200 x N=20k are 8.4 GB un-jitted (OOM before step 1)
     params = backbone.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        {"x": batch["x"]},
+        {"x": batch["x"][:8]},
         deterministic=dropout_rate == 0.0,
     )["params"]
     tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer

@@ -489,6 +489,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
     def init_params(self, sample_batch: Batch) -> None:
         """Initialize params (flax init + Xavier-normal re-init) and optimizer."""
         init_rng, xavier_rng = jax.random.split(jax.random.PRNGKey(self.seed))
+        # Param shapes depend on model dims only, never the batch row count —
+        # but flax init EXECUTES the forward eagerly, and for the full-catalog
+        # softmax that materializes (B, L, n_items) logits un-jitted (8.4 GB
+        # at B=512, L=200, N=20k: an instant OOM before training starts).
+        # Init on a few rows instead.
+        sample_batch = {k: v[: min(8, len(v))] for k, v in sample_batch.items()}
         device_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         candidate = None
         if self._requires_negatives:

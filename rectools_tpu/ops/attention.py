@@ -523,9 +523,18 @@ def _prefer_xla_attention(b: int, h: int, l: int) -> bool:
     (B, H, L, L) score tensor stops fitting HBM comfortably). Both paths
     share the counter-hash dropout bits, so dispatch never changes training
     semantics.
+
+    The byte cap is on the SCORE tensor, but the real budget is the XLA
+    backward, which holds ~4-5 score-sized tensors live (scores, probs,
+    dropout mask, d_probs, d_scores) per transformer block: at
+    B=512, H=8, L=200 (655 MB scores) a 2-block train step exhausts 16 GB
+    HBM even under remat, while the blockwise Pallas kernel runs it ~20%
+    slower per call and never materializes (L, L). 512 MB keeps every
+    measured XLA-faster config (KION 82 MB, ML-20M B=256 327 MB) on the
+    XLA path and sends only the memory-bound shapes to Pallas.
     """
     score_bytes = b * h * l * l * 4
-    return l < 256 and score_bytes <= (1 << 30)
+    return l < 256 and score_bytes <= (1 << 29)
 
 
 def dot_product_attention(

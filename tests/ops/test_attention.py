@@ -277,8 +277,12 @@ class TestGroupedPrograms:
         # L~512; Pallas wins at long L or when score tensors outgrow HBM
         from rectools_tpu.ops.attention import _prefer_xla_attention
 
-        assert _prefer_xla_attention(512, 4, 100)  # headline shape
+        assert _prefer_xla_attention(512, 4, 100)  # headline shape (82 MB scores)
+        assert _prefer_xla_attention(256, 8, 200)  # ML-20M B=256 (327 MB) stays XLA
         assert not _prefer_xla_attention(128, 4, 256)  # grouped kernel ties XLA here
         assert not _prefer_xla_attention(32, 4, 512)
         assert not _prefer_xla_attention(8, 4, 1024)
-        assert not _prefer_xla_attention(16384, 8, 300)  # score tensor > 1 GB
+        # memory-bound shapes go to Pallas even at short L: the XLA backward
+        # holds ~5 score-sized tensors per block (OOMs 16 GB at 655 MB scores)
+        assert not _prefer_xla_attention(512, 8, 200)
+        assert not _prefer_xla_attention(16384, 8, 300)
