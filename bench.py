@@ -18,9 +18,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: repeat bench runs skip the 20-40 s
+# first-compile of the train step (timing always warms up first regardless).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 B, L, D, N_ITEMS, HEADS, BLOCKS = 512, 100, 128, 15872, 4, 2
 DROPOUT = 0.2

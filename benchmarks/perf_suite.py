@@ -29,12 +29,20 @@ Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/perf_suite.py
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
 from pathlib import Path
 
 import numpy as np
+
+# Persistent XLA compilation cache (first compiles through the device tunnel
+# are tens of seconds; timings below always warm up first, but cached
+# executables cut total suite wall time drastically on re-runs).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

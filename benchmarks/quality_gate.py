@@ -24,12 +24,20 @@ Run:  PYTHONPATH=/root/repo[:/root/.axon_site] python benchmarks/quality_gate.py
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
+
+# Persistent XLA compilation cache: first-compile through the device tunnel
+# dominates small fits/recommends (measured: PureSVD reco 17 s cold vs 0.4 s
+# warm for 6k users); cached executables make repeat runs reflect compute.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
