@@ -65,6 +65,114 @@ def _yty_reg(y: jax.Array, reg: jax.Array) -> jax.Array:
     )
 
 
+@jax.jit
+def _solve_and_scatter(
+    y: jax.Array,  # (n_objects, f)
+    yty_reg: jax.Array,  # (f, f)
+    idx: jax.Array,  # (B_pad, L_pad) int32
+    conf: jax.Array,  # (B_pad, L_pad) f32, 0 = padding
+    rows: jax.Array,  # (B_pad,) int32 destination rows; padding points at the dump row
+    out: jax.Array,  # (n_subjects + 1, f) — last row is the dump row
+) -> jax.Array:
+    x = _solve_batch(y, yty_reg, idx, conf)
+    return out.at[rows].set(x)
+
+
+def _pack_degree_buckets(
+    xy_csr: sparse.csr_matrix, batch_size: int, dump_row: int
+) -> tp.List[tp.Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Degree-sorted (rows, idx, conf) batches, padded to pow2 shapes.
+
+    Computed ONCE per fit: the sparsity pattern never changes across ALS
+    iterations, so the ragged-to-padded packing (and its H2D upload) must not
+    sit inside the iteration loop. Zero-degree subjects are left out — the
+    half-step starts from zeros, which is their exact solution (b = 0).
+    Padding rows scatter into ``dump_row``.
+    """
+    n_subjects = xy_csr.shape[0]
+    indptr = xy_csr.indptr
+    lengths = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    order = np.argsort(lengths, kind="stable")
+    order = order[lengths[order] > 0]
+
+    buckets = []
+    for start in range(0, len(order), batch_size):
+        rows = order[start : start + batch_size]
+        b = len(rows)
+        l_pad = _next_pow2(int(lengths[rows].max()), minimum=8)
+        b_pad = _next_pow2(b, minimum=8)
+        idx = np.zeros((b_pad, l_pad), dtype=np.int32)
+        conf = np.zeros((b_pad, l_pad), dtype=np.float32)
+        row_lens = lengths[rows]
+        total = int(row_lens.sum())
+        row_pos = np.repeat(np.arange(b), row_lens)
+        col_pos = np.arange(total) - np.repeat(np.cumsum(row_lens) - row_lens, row_lens)
+        src = np.repeat(indptr[rows].astype(np.int64), row_lens) + col_pos
+        idx[row_pos, col_pos] = xy_csr.indices[src]
+        conf[row_pos, col_pos] = xy_csr.data[src]
+        rows_padded = np.full(b_pad, dump_row, dtype=np.int32)
+        rows_padded[:b] = rows
+        buckets.append((rows_padded, idx, conf))
+    return buckets
+
+
+def _als_fit_resident(
+    ui_csr: sparse.csr_matrix,
+    user_factors: np.ndarray,
+    item_factors: np.ndarray,
+    regularization: float,
+    iterations: int,
+    user_reset_cols: tp.Optional[tp.Tuple[int, int]],
+    user_reset_values: tp.Optional[np.ndarray],
+    item_reset_cols: tp.Optional[tp.Tuple[int, int]],
+    item_reset_values: tp.Optional[np.ndarray],
+    batch_size: int = 2048,
+) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Single-device ALS with the whole iteration loop device-resident.
+
+    The padded CSR buckets upload once and every half-step is a chain of
+    async solve+scatter dispatches — no host sync until the final factor
+    fetch. vs the per-batch materializing loop this removed ~6 tunnel
+    round trips and a full repack per iteration (measured: ML-1M-scale
+    iALS fit 53.7 s -> see ARCHITECTURE.md).
+    """
+    n_users, n_items = ui_csr.shape
+    f = item_factors.shape[1]
+    iu_csr = ui_csr.T.tocsr(copy=False)
+
+    user_buckets = [
+        tuple(jnp.asarray(a) for a in bucket)
+        for bucket in _pack_degree_buckets(ui_csr, batch_size, dump_row=n_users)
+    ]
+    item_buckets = [
+        tuple(jnp.asarray(a) for a in bucket)
+        for bucket in _pack_degree_buckets(iu_csr, batch_size, dump_row=n_items)
+    ]
+    reg = jnp.float32(regularization)
+    u_dev = jnp.asarray(user_factors, dtype=jnp.float32)
+    i_dev = jnp.asarray(item_factors, dtype=jnp.float32)
+    u_reset = None if user_reset_values is None else jnp.asarray(user_reset_values, jnp.float32)
+    i_reset = None if item_reset_values is None else jnp.asarray(item_reset_values, jnp.float32)
+
+    def half_step(y_dev, buckets, n_subjects):
+        yty = _yty_reg(y_dev, reg)
+        out = jnp.zeros((n_subjects + 1, f), dtype=jnp.float32)
+        for rows, idx, conf in buckets:
+            out = _solve_and_scatter(y_dev, yty, idx, conf, rows, out)
+        return out[:n_subjects]
+
+    for _ in range(iterations):
+        u_dev = half_step(i_dev, user_buckets, n_users)
+        if user_reset_cols is not None:
+            s, e = user_reset_cols
+            u_dev = u_dev.at[:, s:e].set(u_reset)
+        i_dev = half_step(u_dev, item_buckets, n_items)
+        if item_reset_cols is not None:
+            s, e = item_reset_cols
+            i_dev = i_dev.at[:, s:e].set(i_reset)
+    return np.asarray(u_dev), np.asarray(i_dev)
+
+
 def als_half_step(
     xy_csr: sparse.csr_matrix,  # (n_subjects, n_objects) confidences
     y: np.ndarray,  # (n_objects, f) fixed side
@@ -170,6 +278,18 @@ def als_fit(
 
     `ui_csr` values must already include the alpha confidence scaling.
     """
+    if mesh is None:
+        return _als_fit_resident(
+            ui_csr,
+            user_factors,
+            item_factors,
+            regularization,
+            iterations,
+            user_reset_cols,
+            user_reset_values,
+            item_reset_cols,
+            item_reset_values,
+        )
     iu_csr = ui_csr.T.tocsr(copy=False)
     for _ in range(iterations):
         user_factors = als_half_step(ui_csr, item_factors, regularization, out=user_factors, mesh=mesh)
