@@ -62,7 +62,10 @@ def log(msg: str) -> None:
 TRAIN_CONFIGS = {
     "toy_ml1m": dict(B=128, L=100, D=64, N=3708, heads=4, blocks=2),
     "kion": dict(B=512, L=100, D=128, N=15872, heads=4, blocks=2),
-    "ml20m_large": dict(B=256, L=200, D=256, N=20480, heads=8, blocks=2),  # B=512 OOMs 16GB HBM (B*L x chunk logit tiles)
+    "ml20m_large": dict(B=256, L=200, D=256, N=20480, heads=8, blocks=2),  # B=512 needs remat (benched below)
+    # long-session posture: 10x the reference's default session cap, through
+    # the blockwise Pallas attention path (the (B,H,L,L) tensor never exists)
+    "long_ctx": dict(B=64, L=1024, D=128, N=15872, heads=4, blocks=2),
 }
 STEPS = 30
 

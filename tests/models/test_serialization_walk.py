@@ -17,9 +17,19 @@ from rectools_tpu.models.base import ModelBase
 from .utils import get_successors
 
 ABSTRACT = {"VectorModel", "TransformerModelBase"}
+# Composite model with live sub-model instances; excluded from the config
+# conformance walk exactly like the reference excludes it
+# (reference tests/models/test_serialization.py:64).
+NO_CONFIG = {"CandidateRankingModel"}
 
 CONCRETE_MODELS = [
-    cls for cls in get_successors(ModelBase) if cls.__name__ not in ABSTRACT
+    cls
+    for cls in get_successors(ModelBase)
+    # only the package's own models: other test modules define throwaway
+    # ModelBase subclasses that join the tree when the whole suite runs
+    if cls.__module__.startswith("rectools_tpu")
+    and cls.__name__ not in ABSTRACT
+    and cls.__name__ not in NO_CONFIG
 ]
 MODEL_IDS = [cls.__name__ for cls in CONCRETE_MODELS]
 
