@@ -70,7 +70,41 @@ TRAIN_CONFIGS = {
 STEPS = 30
 
 
-def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = False):
+def _build_hstu_backbone(cfg, dropout_rate: float):
+    """STU backbone wired like HSTUModel._init_* (hstu.py:343-356): cosine
+    similarity head, scaled inverse positional encoding, relative time+pos
+    attention biases — the reference's headline-model architecture."""
+    from rectools_tpu.models.nn.item_net import IdEmbeddingsItemNet, SumOfEmbeddingsConstructor
+    from rectools_tpu.models.nn.transformers.backbone import TransformerBackbone
+    from rectools_tpu.models.nn.transformers.hstu import STULayers
+    from rectools_tpu.models.nn.transformers.net_blocks import LearnableInversePositionalEncoding
+    from rectools_tpu.models.nn.transformers.similarity import DistanceSimilarityModule
+
+    n_items, d, heads = cfg["N"], cfg["D"], cfg["heads"]
+    head_dim = d // heads
+    item_net = SumOfEmbeddingsConstructor(
+        n_items=n_items,
+        item_net_blocks=(IdEmbeddingsItemNet(n_items=n_items, n_factors=d, dropout_rate=0.0),),
+    )
+    return TransformerBackbone(
+        item_model=item_net,
+        pos_encoding_layer=LearnableInversePositionalEncoding(
+            use_pos_emb=True, session_max_len=cfg["L"], n_factors=d, use_scale_factor=True
+        ),
+        transformer_layers=STULayers(
+            n_blocks=cfg["blocks"], n_factors=d, n_heads=heads,
+            linear_hidden_dim=head_dim, attention_dim=head_dim,
+            session_max_len=cfg["L"], relative_time_attention=True,
+            relative_pos_attention=True, dropout_rate=dropout_rate,
+        ),
+        similarity_module=DistanceSimilarityModule(distance="cosine"),
+        n_heads=heads,
+        dropout_rate=dropout_rate,
+        use_causal_attn=True,
+    )
+
+
+def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = False, arch: str = "sasrec"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -78,21 +112,30 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
     from __graft_entry__ import _build_flagship
     from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
 
-    backbone = _build_flagship(
-        n_items=cfg["N"], session_max_len=cfg["L"], n_factors=cfg["D"],
-        n_heads=cfg["heads"], n_blocks=cfg["blocks"], dropout_rate=dropout_rate,
-    )
+    if arch == "hstu":
+        backbone = _build_hstu_backbone(cfg, dropout_rate)
+    else:
+        backbone = _build_flagship(
+            n_items=cfg["N"], session_max_len=cfg["L"], n_factors=cfg["D"],
+            n_heads=cfg["heads"], n_blocks=cfg["blocks"], dropout_rate=dropout_rate,
+        )
     rng = np.random.default_rng(0)
     batch = {
         "x": jnp.asarray(rng.integers(1, cfg["N"], size=(cfg["B"], cfg["L"]))),
         "y": jnp.asarray(rng.integers(1, cfg["N"], size=(cfg["B"], cfg["L"]))),
         "yw": jnp.ones((cfg["B"], cfg["L"]), jnp.float32),
     }
+    if arch == "hstu":  # relative time attention consumes per-position unix timestamps
+        base_ts = 1_600_000_000
+        batch["unix_ts"] = jnp.asarray(
+            base_ts + np.sort(rng.integers(0, 10_000_000, size=(cfg["B"], cfg["L"])), axis=1)
+        )
     # init on 8 rows: flax init runs the forward eagerly, and the full-catalog
     # logits at B=512 x L=200 x N=20k are 8.4 GB un-jitted (OOM before step 1)
+    init_batch = {k: v[:8] for k, v in batch.items() if k in ("x", "unix_ts")}
     params = backbone.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        {"x": batch["x"][:8]},
+        init_batch,
         deterministic=dropout_rate == 0.0,
     )["params"]
     tx = optax.flatten(optax.adam(1e-3, b1=0.9, b2=0.98))  # mirrors training._make_optimizer
@@ -102,7 +145,9 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
         deterministic = dropout_rate == 0.0
         item_embs = module.item_model.embed_catalog(deterministic=deterministic)
         session_embs = module.encode_sessions(batch, item_embs, deterministic=deterministic)
-        return session_embs, item_embs
+        # through the similarity head like TransformerTrainingModule: identity
+        # for dot (SASRec), L2-normalization for cosine (HSTU)
+        return module.similarity_module.catalog_loss_towers(session_embs, item_embs)
 
     def step(carry, step_idx):
         params, opt_state = carry
@@ -140,10 +185,10 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
     return multi_step, params, opt_state
 
 
-def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False):
+def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False, arch="sasrec"):
     import jax
 
-    multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype, remat)
+    multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype, remat, arch)
     # Analytic FLOPs (XLA's cost_analysis counts lax.scan bodies once, not
     # once per iteration, so it is useless for a scanned train step):
     # fwd+bwd ~ 3x forward; forward = catalog logits (2*B*L*N*D) + per-block
@@ -277,6 +322,10 @@ def run_tpu_suite():
     log(f"train_ml20m_b512_remat: {out['train_ml20m_b512_remat']}")
     out["train_ml20m_b512_remat_bf16"] = bench_train(ml20m_b512, compute_dtype="bfloat16", remat=True)
     log(f"train_ml20m_b512_remat_bf16: {out['train_ml20m_b512_remat_bf16']}")
+    # the reference's headline model: STU layers + relative time/pos biases +
+    # cosine head (a different kernel path than the SASRec rows above)
+    out["train_hstu_kion"] = bench_train(TRAIN_CONFIGS["kion"], arch="hstu")
+    log(f"train_hstu_kion: {out['train_hstu_kion']}")
     out["attention_micro"] = bench_attention_micro()
     log(f"attention: {out['attention_micro']}")
     out["serving"] = bench_serving()

@@ -77,7 +77,10 @@ class RelativeAttentionBias(nn.Module):
         early_time_binding = extended[:, 1:, None] - extended[:, None, :-1]
         bucketed = jnp.clip(self._quantize(early_time_binding), 0, self.num_buckets)
         bucketed = jax.lax.stop_gradient(bucketed)
-        rel = time_weights[bucketed]  # (B, L+1, L+1)
+        from ....ops.stu_attention import _bucket_bias
+
+        # scatter-free backward for the table gradient (see ops/stu_attention)
+        rel = _bucket_bias(time_weights, bucketed)  # (B, L+1, L+1)
         return rel[:, :-1, :-1]
 
     def _pos_attention(self, pos_weights: jnp.ndarray) -> jnp.ndarray:

@@ -47,6 +47,40 @@ def _bucket(diff: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     )
 
 
+@jax.custom_vjp
+def _bucket_bias(tw: jnp.ndarray, buckets: jnp.ndarray) -> jnp.ndarray:
+    """``tw[buckets]`` as a fused compare-and-reduce — TPU-sane in BOTH
+    directions.
+
+    TPU's gather unit is the wrong tool for a 5M-element lookup into a
+    129-entry table (measured 45 ms at B=512, L=100), and autodiff turns the
+    gather's backward into a serialized scatter-add (~87 ms). Expressing the
+    lookup as ``sum_j tw[j] * [buckets == j]`` lets XLA fuse the virtual
+    (B, L, L, n_buckets) one-hot into a VPU select+reduce: 3 ms forward, and
+    the custom backward reduces the cotangent the same way. Exact, not
+    approximate — the same sums in a hardware-friendly order.
+    """
+    oh = buckets[..., None] == jnp.arange(tw.shape[0], dtype=buckets.dtype)
+    return jnp.where(oh, tw.astype(jnp.float32), 0.0).sum(axis=-1)
+
+
+def _bucket_bias_fwd(tw, buckets):
+    # (nb,)-shaped zeros carry both the table size and dtype through the
+    # residuals (np.dtype objects are not valid JAX residual types)
+    return _bucket_bias(tw, buckets), (buckets, jnp.zeros_like(tw))
+
+
+def _bucket_bias_bwd(res, g):
+    buckets, tw_like = res
+    oh = buckets[..., None] == jnp.arange(tw_like.shape[0], dtype=buckets.dtype)
+    axes = tuple(range(g.ndim))
+    dtw = jnp.where(oh, g.astype(jnp.float32)[..., None], 0.0).sum(axis=axes)
+    return dtw.astype(tw_like.dtype), None
+
+
+_bucket_bias.defvjp(_bucket_bias_fwd, _bucket_bias_bwd)
+
+
 def _stu_kernel(
     q_ref,  # (1, block_q, ad)
     k_ref,  # (1, L, ad)
@@ -208,7 +242,7 @@ def _stu_reference(
         t_q = ts[:, 1 : l + 1]
         t_k = ts[:, :l]
         buckets = _bucket(t_q[:, :, None] - t_k[:, None, :], num_buckets)
-        s = s + time_weights[buckets][:, None, :, :]
+        s = s + _bucket_bias(time_weights, buckets)[:, None, :, :]
     if use_pos:
         q_pos = jnp.arange(l)
         rel_idx = jnp.clip(q_pos[None, :] - q_pos[:, None] + l - 1, 0, 2 * l - 2)
@@ -504,7 +538,15 @@ def stu_dot_product_attention(
     """
     b, h, l, _ = q.shape
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        # Same shape dispatch as ops/attention.py `_prefer_xla_attention`:
+        # at short L the per-program launch overhead dominates the Pallas
+        # kernel (measured: KION-shape HSTU f32 step 269 ms fused vs ~15 ms
+        # through XLA), while the kernel is the only memory-safe path once
+        # the (B, H, L, L) score tensor gets large. The XLA twin is the same
+        # math (it IS the custom_vjp recompute), so dispatch never changes
+        # training semantics beyond float rounding.
+        score_bytes = b * h * l * l * 4
+        use_fused = jax.default_backend() == "tpu" and not (l < 256 and score_bytes <= (1 << 29))
     use_time = time_weights is not None
     use_pos = pos_weights is not None
     if ts is None:
@@ -516,5 +558,10 @@ def stu_dot_product_attention(
     tw = time_weights if use_time else jnp.zeros((num_buckets + 1,), jnp.float32)
     pw = pos_weights if use_pos else jnp.zeros((2 * l - 1,), jnp.float32)
     if use_fused:
+        # Mosaic only supports minor-dim insertion (the kernels' tl[:, None]
+        # broadcasts) for 32-bit types: under bf16 compute the timeline /
+        # allowed masks arrive bf16 and must enter the kernel as f32.
+        timeline = timeline.astype(jnp.float32)
+        allowed = allowed.astype(jnp.float32)
         return stu_attention(q, k, v, ts, timeline, allowed, tw, pw, num_buckets, use_time, use_pos)
     return _stu_reference(q, k, v, ts, timeline, tw, pw, allowed[0], num_buckets, use_time, use_pos)
