@@ -556,7 +556,11 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 logs[self.train_loss_name] = self.train_loss_history[-1]
             if val_loader is not None:
                 val_losses = []
-                recall_hits = recall_total = 0.0
+                # hits/totals stay DEVICE handles until the epoch closes: a
+                # float() per batch would sync the dispatch queue every val
+                # batch (~100 ms each through a remote-device transport)
+                hit_handles: tp.List[jax.Array] = []
+                total_handles: tp.List[jax.Array] = []
                 for vi, batch in enumerate(val_loader):
                     batch = pad_batch(batch, val_loader.batch_size)
                     device_batch = self._device_batch(batch)
@@ -568,8 +572,10 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                     val_losses.append(self._val_step(self.params, device_batch, neg_rng))
                     if self.val_recall_k is not None:
                         hits, total = self._val_recall_step(self.params, device_batch, self.val_recall_k)
-                        recall_hits += float(hits)
-                        recall_total += float(total)
+                        hit_handles.append(hits)
+                        total_handles.append(total)
+                recall_hits = float(jnp.sum(jnp.stack(hit_handles))) if hit_handles else 0.0
+                recall_total = float(jnp.sum(jnp.stack(total_handles))) if total_handles else 0.0
                 if val_losses:
                     self.val_loss_history.append(float(jnp.mean(jnp.stack(val_losses))))
                     logs[self.val_loss_name] = self.val_loss_history[-1]
