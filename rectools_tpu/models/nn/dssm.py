@@ -225,26 +225,30 @@ class DSSMModel(VectorModel[DSSMModelConfig]):
     def _get_users_factors(self, dataset: Dataset) -> Factors:
         towers = self._towers_module()
         data = self.user_dataset_type.from_dataset(dataset)
-        out = []
+        # dispatch every batch before the first device->host fetch so batch
+        # round trips overlap (same pattern as ops/topk.py serving)
+        pending = []
         for start in range(0, len(data), self.batch_size):
             rows = np.arange(start, min(start + self.batch_size, len(data)))
             uf, inter = data.dense_rows(rows)
-            vecs = towers.apply(
-                {"params": self.params}, jnp.asarray(uf), jnp.asarray(inter), method=DSSMTowers.encode_users
+            pending.append(
+                towers.apply(
+                    {"params": self.params}, jnp.asarray(uf), jnp.asarray(inter), method=DSSMTowers.encode_users
+                )
             )
-            out.append(np.asarray(vecs))
-        return Factors(np.concatenate(out, axis=0))
+        return Factors(np.concatenate([np.asarray(v) for v in pending], axis=0))
 
     def _get_items_factors(self, dataset: Dataset) -> Factors:
         towers = self._towers_module()
         data = self.item_dataset_type.from_dataset(dataset)
-        out = []
+        pending = []
         for start in range(0, len(data), self.batch_size):
             rows = np.arange(start, min(start + self.batch_size, len(data)))
             feats = data.dense_rows(rows)
-            vecs = towers.apply({"params": self.params}, jnp.asarray(feats), method=DSSMTowers.encode_items)
-            out.append(np.asarray(vecs))
-        return Factors(np.concatenate(out, axis=0))
+            pending.append(
+                towers.apply({"params": self.params}, jnp.asarray(feats), method=DSSMTowers.encode_items)
+            )
+        return Factors(np.concatenate([np.asarray(v) for v in pending], axis=0))
 
     # ------------------------------------------------------------------ warm
 
