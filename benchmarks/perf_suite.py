@@ -1,4 +1,6 @@
-"""Production-scale performance suite -> PERF_r02.md / PERF_r02.json.
+"""Production-scale performance suite -> PERF_r02.json (+ auto table PERF_r02_auto.md).
+
+PERF_r02.md is the CURATED narrative document — the suite never overwrites it.
 
 Covers what BASELINE.json demands beyond the single headline number:
 
@@ -415,8 +417,8 @@ def main():
     lines += ["", "## Serving (top-k MIPS, KION catalog 15,872 x d=128, k=100)", ""]
     for key, val in payload["serving"].items():
         lines.append(f"- {key}: {val}")
-    (REPO / "PERF_r02.md").write_text("\n".join(lines) + "\n")
-    log("wrote PERF_r02.json / PERF_r02.md")
+    (REPO / "PERF_r02_auto.md").write_text("\n".join(lines) + "\n")
+    log("wrote PERF_r02.json / PERF_r02_auto.md")
 
 
 if __name__ == "__main__":
