@@ -538,15 +538,16 @@ def stu_dot_product_attention(
     """
     b, h, l, _ = q.shape
     if use_fused is None:
-        # Same shape dispatch as ops/attention.py `_prefer_xla_attention`:
-        # at short L the per-program launch overhead dominates the Pallas
-        # kernel (measured: KION-shape HSTU f32 step 269 ms fused vs ~15 ms
-        # through XLA), while the kernel is the only memory-safe path once
-        # the (B, H, L, L) score tensor gets large. The XLA twin is the same
-        # math (it IS the custom_vjp recompute), so dispatch never changes
-        # training semantics beyond float rounding.
+        # Shape dispatch, measured on v5e: the XLA twin (same math — it IS
+        # the custom_vjp recompute — with the scatter-free `_bucket_bias`
+        # lookup) beats the Pallas kernel at every shape that fits memory:
+        # KION B=512/L=100 ~15 ms step vs 269 ms fused; B=64/H=4/L=1024
+        # fwd+bwd 52 ms vs 164 ms (the kernel's per-bucket masked-accumulate
+        # loop is VPU-bound). The Pallas kernel remains the fallback for
+        # shapes whose (B, H, L, L) score tensor would not fit HBM — there
+        # it is the only option, since it never materializes (L, L).
         score_bytes = b * h * l * l * 4
-        use_fused = jax.default_backend() == "tpu" and not (l < 256 and score_bytes <= (1 << 29))
+        use_fused = jax.default_backend() == "tpu" and score_bytes > (1 << 30)
     use_time = time_weights is not None
     use_pos = pos_weights is not None
     if ts is None:
