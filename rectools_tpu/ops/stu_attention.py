@@ -85,23 +85,14 @@ def _stu_kernel(
     q_ref,  # (1, block_q, ad)
     k_ref,  # (1, L, ad)
     v_ref,  # (1, L, lh)
-    ts_q_ref,  # (1, 1, block_q) per-q-block target timestamps t[q+1], int32
-               # (unix seconds fit; f32 would lose second-level deltas past
-               # 2^24; q-windows arrive via BlockSpec indexing because Mosaic
-               # cannot do narrow dynamic-offset vector loads)
-    ts_k_ref,  # (1, 1, L) key timestamps t[k]
     tl_q_ref,  # (1, 1, block_q) timeline mask rows for this q block
     tl_k_ref,  # (1, 1, L) timeline mask
     allowed_ref,  # (1, block_q, L) multiplicative attention mask (0/1)
-    tw_ref,  # (1, nb + 1) time weights
-    pos_bias_ref,  # (1, block_q, L) precomputed Toeplitz positional bias
+    bias_ref,  # (1, block_q, L) combined relative bias (time + pos), f32
     out_ref,  # (1, block_q, lh)
     *,
     l_total: int,
     block_q: int,
-    num_buckets: int,
-    use_time: bool,
-    use_pos: bool,
 ):
     q = q_ref[0]
     k = k_ref[0]
@@ -110,28 +101,11 @@ def _stu_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, L)
 
-    if use_time:
-        # reference (hstu.py:88-103): bias[q, k] = w[bucket(t[q + 1] - t[k])]
-        # over the extended (target-time-appended) timestamp row. The lookup
-        # runs as a masked-accumulate loop over the tiny bucket table — a
-        # one-hot matmul would park a (block_q*L, nb) one-hot in VMEM, which
-        # caps the kernel at short sessions.
-        t_q = ts_q_ref[0, 0]
-        t_k = ts_k_ref[0, 0]
-        buckets = _bucket(t_q[:, None] - t_k[None, :], num_buckets)
-        nbp = num_buckets + 1
-
-        def tw_body(j, acc):
-            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, nbp), 1) == j).astype(jnp.float32)
-            w_j = jnp.sum(tw_ref[...] * sel)
-            return acc + w_j * (buckets == j).astype(jnp.float32)
-
-        s = s + jax.lax.fori_loop(0, nbp, tw_body, jnp.zeros((block_q, l_total), jnp.float32))
-
-    if use_pos:
-        # Toeplitz positional bias w[k - q + L - 1] (reference hstu.py:116-128)
-        # is batch/head-independent: it arrives precomputed per q-block
-        s = s + pos_bias_ref[0]
+    # relative time+pos bias arrives PRECOMPUTED from XLA (the scatter-free
+    # `_bucket_bias` compare-reduce + the Toeplitz pad/tile trick): the old
+    # in-kernel per-bucket masked-accumulate loop was VPU-bound (measured
+    # 207 ms forward at B=64, H=4, L=1024 vs ~9 ms without the time bias)
+    s = s + bias_ref[0]
 
     a = jax.nn.silu(s) / l_total
 
@@ -141,6 +115,39 @@ def _stu_kernel(
     a = a * mask
 
     out_ref[0] = jnp.dot(a, v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _toeplitz_bias(pos_weights: jnp.ndarray, l: int) -> jnp.ndarray:
+    """(2L-1,) weights -> (L, L) Toeplitz bias w[k - q + L - 1] via the
+    pad/tile trick (reference hstu.py:116-128): only pad/tile/reshape/slice
+    ops, so both the construction AND its autodiff adjoint avoid TPU's
+    gather/scatter units entirely."""
+    t = jnp.pad(pos_weights[: 2 * l - 1].astype(jnp.float32), (0, l))
+    t = jnp.tile(t, l)[:-l].reshape(l, 3 * l - 2)
+    r = (2 * l - 1) // 2
+    return t[:, r : t.shape[1] - r]
+
+
+def _combined_bias(
+    ts: jnp.ndarray,  # (B, L + 2) int32
+    time_weights: jnp.ndarray,
+    pos_weights: jnp.ndarray,
+    l: int,
+    num_buckets: int,
+    use_time: bool,
+    use_pos: bool,
+) -> tp.Tuple[jnp.ndarray, bool]:
+    """Combined relative bias for the kernels: ((B or 1), L, L) f32 plus a
+    flag saying whether it varies per batch row."""
+    if use_time:
+        buckets = _bucket(ts[:, 1 : l + 1, None] - ts[:, None, :l], num_buckets)
+        bias = _bucket_bias(time_weights, buckets)  # (B, L, L)
+        if use_pos:
+            bias = bias + _toeplitz_bias(pos_weights, l)[None]
+        return bias, True
+    if use_pos:
+        return _toeplitz_bias(pos_weights, l)[None], False
+    return jnp.zeros((1, l, l), jnp.float32), False
 
 
 def _stu_pallas(
@@ -167,41 +174,24 @@ def _stu_pallas(
     q3 = q.reshape(bh, l, ad)
     k3 = k.reshape(bh, l, ad)
     v3 = v.reshape(bh, l, lh)
-    tw = time_weights.reshape(1, -1).astype(jnp.float32)
     # pad L up to a block_q multiple so q-window blocks tile evenly
     l_padded = n_q * block_q
-    ts_q = ts[:, 1 : l + 1]
-    ts_k = ts[:, :l]
-    if l_padded > l:
-        ts_q = jnp.pad(ts_q, ((0, 0), (0, l_padded - l)))
-    ts_q3 = ts_q[:, None, :]
-    ts_k3 = ts_k[:, None, :]
     tl_q = timeline
     if l_padded > l:
         tl_q = jnp.pad(timeline, ((0, 0), (0, l_padded - l)))
     tl_q3 = tl_q[:, None, :]
     tl_k3 = timeline[:, None, :]
-    # batch/head-independent Toeplitz bias, materialized once in XLA and
-    # streamed into the kernel per q-block (zeros when pos bias is off)
-    if use_pos:
-        positions = jnp.arange(l)
-        rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
-        pos_bias = pos_weights[rel_idx].astype(jnp.float32)
-    else:
-        pos_bias = jnp.zeros((l, l), jnp.float32)
+
+    bias, bias_per_batch = _combined_bias(ts, time_weights, pos_weights, l, num_buckets, use_time, use_pos)
     if l_padded > l:
-        pos_bias = jnp.pad(pos_bias, ((0, l_padded - l), (0, 0)))
-    pos_bias3 = pos_bias[None]
+        bias = jnp.pad(bias, ((0, 0), (0, l_padded - l), (0, 0)))
+    if bias_per_batch:
+        bias_index = lambda i, j: (i // h, j, 0)  # noqa: E731
+    else:
+        bias_index = lambda i, j: (0, j, 0)  # noqa: E731
 
     out = pl.pallas_call(
-        partial(
-            _stu_kernel,
-            l_total=l,
-            block_q=block_q,
-            num_buckets=num_buckets,
-            use_time=use_time,
-            use_pos=use_pos,
-        ),
+        partial(_stu_kernel, l_total=l, block_q=block_q),
         grid=(bh, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, ad), lambda i, j: (i, j, 0)),
@@ -209,16 +199,13 @@ def _stu_pallas(
             pl.BlockSpec((1, l, lh), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, block_q), lambda i, j: (i // h, 0, j)),
             pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j: (i // h, 0, j)),
-            pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
             pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((1, tw.shape[1]), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((1, block_q, l), bias_index),
         ],
         out_specs=pl.BlockSpec((1, block_q, lh), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, l, lh), q.dtype),
         interpret=interpret,
-    )(q3, k3, v3, ts_q3, ts_k3, tl_q3, tl_k3, allowed.astype(jnp.float32), tw, pos_bias3)
+    )(q3, k3, v3, tl_q3, tl_k3, allowed.astype(jnp.float32), bias)
     return out.reshape(b, h, l, lh)
 
 
@@ -244,9 +231,10 @@ def _stu_reference(
         buckets = _bucket(t_q[:, :, None] - t_k[:, None, :], num_buckets)
         s = s + _bucket_bias(time_weights, buckets)[:, None, :, :]
     if use_pos:
-        q_pos = jnp.arange(l)
-        rel_idx = jnp.clip(q_pos[None, :] - q_pos[:, None] + l - 1, 0, 2 * l - 2)
-        s = s + pos_weights[rel_idx][None, None, :, :]
+        # pad/tile Toeplitz construction: forward AND autodiff adjoint stay
+        # off TPU's gather/scatter units (the rel_idx gather's backward is a
+        # (L*L -> 2L-1) scatter that XLA serializes)
+        s = s + _toeplitz_bias(pos_weights, l)[None, None, :, :]
     a = jax.nn.silu(s) / l
     mask = allowed.astype(jnp.float32)[None] * (timeline[:, None, :, None] * timeline[:, None, None, :])
     a = a * mask
@@ -258,13 +246,10 @@ def _stu_bwd_kernel(
     k_ref,  # (1, L, ad)
     v_ref,  # (1, L, lh)
     do_ref,  # (1, L_pad, lh)
-    ts_q_ref,  # (1, 1, L_pad)
-    ts_k_ref,  # (1, 1, L)
     tl_q_ref,  # (1, 1, L_pad) — padded rows hold 0, killing their gradient
     tl_k_ref,  # (1, 1, L)
     allowed_ref,  # (1, L_pad, L)
-    tw_ref,  # (1, nb + 1)
-    pos_bias_ref,  # (1, L_pad, L) precomputed Toeplitz bias (zeros if unused)
+    bias_ref,  # (1, L_pad, L) combined PRECOMPUTED relative bias (time + pos)
     dq_ref,  # (1, L_pad, ad)
     dk_ref,  # (1, L, ad)
     dv_ref,  # (1, L, lh)
@@ -272,19 +257,15 @@ def _stu_bwd_kernel(
     l_total: int,
     block_q: int,
     n_q_blocks: int,
-    num_buckets: int,
-    use_time: bool,
     track_ds: bool,
     n_heads: int,
 ):
     """One program per batch*head row: recompute score tiles, emit dq/dk/dv
-    and (optionally) the head-summed score gradient for the weight tables."""
+    and (optionally) the head-summed score gradient for the bias tables."""
     i = pl.program_id(0)
     k = k_ref[0]
     v = v_ref[0]
-    t_k = ts_k_ref[0, 0]
     tl_k = tl_k_ref[0, 0]
-    nbp = num_buckets + 1
 
     dk_ref[0] = jnp.zeros_like(dk_ref[0])
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
@@ -294,18 +275,6 @@ def _stu_bwd_kernel(
         def _init_ds():  # first head of this batch row starts the sum
             ds_bsum_ref[0][0] = jnp.zeros_like(ds_bsum_ref[0][0])
 
-    def time_bias_tile(buckets):
-        """tw lookup as a masked-accumulate loop over the tiny bucket table
-        (the forward's one-hot matmul would need a (block_q*L, nb) one-hot
-        in VMEM; the loop reads one scalar per bucket instead)."""
-
-        def body(j, acc):
-            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, nbp), 1) == j).astype(jnp.float32)
-            w_j = jnp.sum(tw_ref[0][None, :] * sel)
-            return acc + w_j * (buckets == j).astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, nbp, body, jnp.zeros(buckets.shape, jnp.float32))
-
     def body(qi, _):
         rows = pl.ds(qi * block_q, block_q)
         q_blk = q_ref[0, rows, :]
@@ -314,10 +283,7 @@ def _stu_bwd_kernel(
         s = jax.lax.dot_general(
             q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if use_time:
-            t_q = ts_q_ref[0, 0, rows]
-            s = s + time_bias_tile(_bucket(t_q[:, None] - t_k[None, :], num_buckets))
-        s = s + pos_bias_ref[0, rows, :]
+        s = s + bias_ref[0, rows, :]
 
         sig = jax.nn.sigmoid(s)
         mask = allowed_ref[0, rows, :] * tl_q[:, None] * tl_k[None, :]
@@ -376,23 +342,16 @@ def _stu_pallas_bwd(
     do3 = pad_rows(d_out.reshape(bh, l, lh), 1)
     k3 = k.reshape(bh, l, ad)
     v3 = v.reshape(bh, l, lh)
-    ts_q3 = pad_rows(ts[:, 1 : l + 1], 1)[:, None, :].astype(jnp.int32)
-    ts_k3 = ts[:, :l][:, None, :].astype(jnp.int32)
     tl_q3 = pad_rows(timeline, 1)[:, None, :]
     tl_k3 = timeline[:, None, :]
     allowed3 = pad_rows(allowed.astype(jnp.float32), 1)
 
-    # Toeplitz positional bias is batch/head-independent: materialize the
-    # (L, L) matrix once in XLA instead of looking it up per kernel tile
-    if use_pos:
-        positions = jnp.arange(l)
-        rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
-        pos_bias = pos_weights[rel_idx].astype(jnp.float32)
+    bias, bias_per_batch = _combined_bias(ts, time_weights, pos_weights, l, num_buckets, use_time, use_pos)
+    bias = pad_rows(bias, 1)
+    if bias_per_batch:
+        bias_index = lambda i: (i // h, 0, 0)  # noqa: E731
     else:
-        pos_bias = jnp.zeros((l, l), jnp.float32)
-    pos_bias3 = pad_rows(pos_bias, 0)[None]
-
-    tw = time_weights.reshape(1, -1).astype(jnp.float32)
+        bias_index = lambda i: (0, 0, 0)  # noqa: E731
 
     out_shapes = [
         jax.ShapeDtypeStruct((bh, l_pad, ad), q.dtype),
@@ -414,8 +373,6 @@ def _stu_pallas_bwd(
             l_total=l,
             block_q=block_q,
             n_q_blocks=n_q,
-            num_buckets=num_buckets,
-            use_time=use_time,
             track_ds=track_ds,
             n_heads=h,
         ),
@@ -427,16 +384,13 @@ def _stu_pallas_bwd(
             pl.BlockSpec((1, l_pad, lh), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, l_pad), lambda i: (i // h, 0, 0)),
             pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0)),
-            pl.BlockSpec((1, 1, l_pad), lambda i: (i // h, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0)),
             pl.BlockSpec((1, l_pad, l), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, tw.shape[1]), lambda i: (0, 0)),
-            pl.BlockSpec((1, l_pad, l), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, l_pad, l), bias_index),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(q3, k3, v3, do3, ts_q3, ts_k3, tl_q3, tl_k3, allowed3, tw, pos_bias3)
+    )(q3, k3, v3, do3, tl_q3, tl_k3, allowed3, bias)
 
     dq = results[0][:, :l, :].reshape(b, h, l, ad)
     dk = results[1].reshape(b, h, l, ad)
@@ -447,18 +401,15 @@ def _stu_pallas_bwd(
     if track_ds:
         ds_bsum = results[3][:, :l, :]  # (B, L, L), summed over heads
         if use_time:
+            # scatter-free table gradient: same compare-and-reduce as
+            # `_bucket_bias`'s custom VJP (segment_sum serializes on TPU)
             buckets = _bucket(ts[:, 1 : l + 1, None] - ts[:, None, :l], num_buckets)
-            dtw = jax.ops.segment_sum(
-                ds_bsum.reshape(-1), buckets.reshape(-1), num_segments=num_buckets + 1
-            ).astype(time_weights.dtype)
+            dtw = _bucket_bias_bwd((buckets, jnp.zeros_like(time_weights)), ds_bsum)[0]
         if use_pos:
-            positions = jnp.arange(l)
-            rel_idx = jnp.clip(positions[None, :] - positions[:, None] + l - 1, 0, 2 * l - 2)
-            dpw = jax.ops.segment_sum(
-                ds_bsum.sum(axis=0).reshape(-1),
-                jnp.broadcast_to(rel_idx, (l, l)).reshape(-1),
-                num_segments=2 * l - 1,
-            ).astype(pos_weights.dtype)
+            # adjoint of the pad/tile Toeplitz construction: XLA derives it
+            # from pad/tile/reshape/slice — no scatter anywhere
+            _, toeplitz_vjp = jax.vjp(lambda pw: _toeplitz_bias(pw, l), pos_weights)
+            dpw = toeplitz_vjp(ds_bsum.sum(axis=0))[0].astype(pos_weights.dtype)
     return dq, dk, dv, dtw, dpw
 
 
