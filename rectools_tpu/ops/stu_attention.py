@@ -1,28 +1,34 @@
-"""Fused STU (HSTU) attention kernel with in-kernel relative biases.
+"""Fused STU (HSTU) attention kernels with a precomputed streamed bias.
 
 HSTU's attention is pointwise-aggregated: SiLU(q k^T + rel_bias) / L with
 multiplicative causal/timeline masking — no softmax (reference
 rectools/models/nn/transformers/hstu.py:270-288). The reference materializes
-both the (B, H, L, L) score tensor and a separate (B, L, L) relative-bias
-tensor built from log-bucketed timestamp deltas (hstu.py:88-128). SURVEY.md §5
-flags exactly this as the fusion target: here the kernel computes the
-time-delta buckets and the Toeplitz positional bias on the fly from the
-(B, L+2) timestamp row and the two small weight vectors, so neither the score
-matrix nor the bias matrix ever exists in HBM.
+the full (B, H, L, L) score tensor; the Pallas kernels here never do — the
+(block_q, L) score tiles live only in VMEM, so session length is a config
+knob and the kernels are the memory-safe path for shapes whose score tensor
+will not fit HBM.
 
-Bucket-table lookups run as masked-accumulate loops over the tiny weight
-tables (VPU compare+add per bucket); the Toeplitz positional bias is
-batch/head-independent and arrives precomputed from XLA — so the kernel's
-VMEM footprint stays O(block_q * L) and session length is a config knob.
+The combined relative bias (log-bucketed time deltas, hstu.py:88-114, plus
+the Toeplitz positional bias, hstu.py:116-128) is PRECOMPUTED in XLA and
+streamed into both kernels per tile. Computing it in-kernel was measured
+VPU-bound (a per-bucket masked-accumulate loop cost 207 ms of a 216 ms
+forward at B=64, H=4, L=1024); the XLA construction is gather/scatter-free
+in both directions — `_bucket_bias` expresses the 129-entry table lookup as
+a fused compare-and-reduce with a matching custom VJP, and `_toeplitz_bias`
+builds the positional matrix from pad/tile/reshape ops whose autodiff
+adjoint XLA derives without a scatter. The bias is head-shared, so it is
+H× smaller than the score tensor it replaces.
 
 Backward is a second Pallas kernel (one program per batch*head row): it
-recomputes the (block_q, L) score tiles in VMEM — time buckets via a
-small masked-accumulate loop over the bucket table, the Toeplitz positional
-bias from a precomputed (L, L) matrix that is batch/head-independent — and
+recomputes the (block_q, L) score tiles in VMEM from the streamed bias and
 emits dq/dk/dv plus the head-summed score gradient, from which the two tiny
-weight-table gradients are segment-summed in XLA. The (B, H, L, L) score
-tensor never exists in HBM in either direction; sessions longer than
-``MAX_FUSED_BWD_LEN`` fall back to the XLA recompute backward.
+weight-table gradients are reduced scatter-free in XLA. Sessions longer
+than ``MAX_FUSED_BWD_LEN`` fall back to the XLA recompute backward.
+
+Dispatch (`stu_dot_product_attention`): the XLA twin (`_stu_reference`,
+identical math — it IS the custom_vjp recompute) is preferred whenever the
+(B, H, L, L) score tensor fits a 1 GiB budget, where it measures at least
+as fast; the kernels take over beyond that.
 """
 
 import typing as tp
