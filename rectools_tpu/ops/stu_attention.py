@@ -19,11 +19,14 @@ builds the positional matrix from pad/tile/reshape ops whose autodiff
 adjoint XLA derives without a scatter. The bias is head-shared, so it is
 H× smaller than the score tensor it replaces.
 
-Backward is a second Pallas kernel (one program per batch*head row): it
-recomputes the (block_q, L) score tiles in VMEM from the streamed bias and
-emits dq/dk/dv plus the head-summed score gradient, from which the two tiny
-weight-table gradients are reduced scatter-free in XLA. Sessions longer
-than ``MAX_FUSED_BWD_LEN`` fall back to the XLA recompute backward.
+The backward runs as two Pallas calls that recompute the (block_q, L)
+score tiles from the streamed bias: a (rows, q-block) grid emits dq and
+accumulates dk/dv in the consecutively-revisited per-row blocks, and a
+(batch, q-block, heads) grid — heads minor — accumulates the head-summed
+score gradient, from which the two tiny weight-table gradients are reduced
+scatter-free in XLA. Every VMEM block is O(block_q * L), so session length
+is unbounded in the backward too (the old one-program-per-row form held
+full (L, L) mask/bias blocks and capped at L=512).
 
 Dispatch (`stu_dot_product_attention`): the XLA twin (`_stu_reference`,
 identical math — it IS the custom_vjp recompute) is preferred whenever the
@@ -39,9 +42,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_BLOCK_Q = 128
-# beyond this the backward's per-program VMEM working set (full allowed-mask
-# block + head-summed score-gradient block) stops fitting comfortably
-MAX_FUSED_BWD_LEN = 512
 
 
 def _bucket(diff: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
@@ -247,70 +247,94 @@ def _stu_reference(
     return jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _stu_score_grad_tile(q_blk, k, do_blk, v, tl_q, tl_k, allowed_blk, bias_blk, l_total):
+    """Recompute one (block_q, L) score tile and return (a, ds)."""
+    s = jax.lax.dot_general(
+        q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias_blk
+    sig = jax.nn.sigmoid(s)
+    mask = allowed_blk * tl_q[:, None] * tl_k[None, :]
+    a = (s * sig) * (mask / l_total)
+    da = jax.lax.dot_general(
+        do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (da * mask / l_total) * (sig * (1.0 + s * (1.0 - sig)))
+    return a, ds
+
+
 def _stu_bwd_kernel(
-    q_ref,  # (1, L_pad, ad)
+    q_ref,  # (1, block_q, ad) — this q block
     k_ref,  # (1, L, ad)
     v_ref,  # (1, L, lh)
-    do_ref,  # (1, L_pad, lh)
-    tl_q_ref,  # (1, 1, L_pad) — padded rows hold 0, killing their gradient
+    do_ref,  # (1, block_q, lh)
+    tl_q_ref,  # (1, 1, block_q) — padded rows hold 0, killing their gradient
     tl_k_ref,  # (1, 1, L)
-    allowed_ref,  # (1, L_pad, L)
-    bias_ref,  # (1, L_pad, L) combined PRECOMPUTED relative bias (time + pos)
-    dq_ref,  # (1, L_pad, ad)
-    dk_ref,  # (1, L, ad)
-    dv_ref,  # (1, L, lh)
-    *ds_bsum_ref,  # optional (1, L_pad, L): score grads summed over heads
+    allowed_ref,  # (1, block_q, L)
+    bias_ref,  # (1, block_q, L) combined PRECOMPUTED relative bias (time + pos)
+    dq_ref,  # (1, block_q, ad)
+    dk_ref,  # (1, L, ad) — accumulated over the q-block (minor) grid dim
+    dv_ref,  # (1, L, lh) — accumulated likewise
+    *,
     l_total: int,
-    block_q: int,
-    n_q_blocks: int,
-    track_ds: bool,
-    n_heads: int,
 ):
-    """One program per batch*head row: recompute score tiles, emit dq/dk/dv
-    and (optionally) the head-summed score gradient for the bias tables."""
-    i = pl.program_id(0)
+    """Grid (bh, n_q): one program per (batch*head row, q block). dk/dv
+    blocks are indexed by the row only, so they stay VMEM-resident across
+    the CONSECUTIVE q-block programs and accumulate there; every VMEM block
+    is O(block_q * L) or smaller, so session length is unbounded by VMEM
+    (the old single-program-per-row form held full (L_pad, L) mask/bias
+    blocks and stopped fitting past L=512)."""
+    j = pl.program_id(1)
     k = k_ref[0]
     v = v_ref[0]
-    tl_k = tl_k_ref[0, 0]
 
-    dk_ref[0] = jnp.zeros_like(dk_ref[0])
-    dv_ref[0] = jnp.zeros_like(dv_ref[0])
-    if track_ds:
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-        @pl.when(i % n_heads == 0)
-        def _init_ds():  # first head of this batch row starts the sum
-            ds_bsum_ref[0][0] = jnp.zeros_like(ds_bsum_ref[0][0])
+    a, ds = _stu_score_grad_tile(
+        q_ref[0], k, do_ref[0], v, tl_q_ref[0, 0], tl_k_ref[0, 0], allowed_ref[0], bias_ref[0], l_total
+    )
+    dv_ref[0] += jax.lax.dot_general(
+        a, do_ref[0], dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q_ref[0], dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
 
-    def body(qi, _):
-        rows = pl.ds(qi * block_q, block_q)
-        q_blk = q_ref[0, rows, :]
-        do_blk = do_ref[0, rows, :]
-        tl_q = tl_q_ref[0, 0, rows]
-        s = jax.lax.dot_general(
-            q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s + bias_ref[0, rows, :]
 
-        sig = jax.nn.sigmoid(s)
-        mask = allowed_ref[0, rows, :] * tl_q[:, None] * tl_k[None, :]
-        a = (s * sig) * (mask / l_total)
-        da = jax.lax.dot_general(
-            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (da * mask / l_total) * (sig * (1.0 + s * (1.0 - sig)))
+def _stu_ds_kernel(
+    q_ref,  # (1, block_q, ad)
+    k_ref,  # (1, L, ad)
+    v_ref,  # (1, L, lh)
+    do_ref,  # (1, block_q, lh)
+    tl_q_ref,  # (1, 1, block_q)
+    tl_k_ref,  # (1, 1, L)
+    allowed_ref,  # (1, block_q, L)
+    bias_ref,  # (1, block_q, L)
+    ds_bsum_ref,  # (1, block_q, L): score grads summed over heads
+    *,
+    l_total: int,
+):
+    """Grid (b, n_q, h) with heads MINOR: the (b, q-block) output block stays
+    VMEM-resident across the consecutive head programs and accumulates the
+    head-summed score gradient (needed only for the two bias-table grads).
+    Recomputes the score tile a second time — two extra MXU passes buy
+    strictly consecutive output revisits, which is the only accumulation
+    pattern Pallas TPU guarantees."""
+    hh = pl.program_id(2)
 
-        dv_ref[0] += jax.lax.dot_general(
-            a, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
-        dq_ref[0, rows, :] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0] += jax.lax.dot_general(
-            ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dk_ref.dtype)
-        if track_ds:
-            ds_bsum_ref[0][0, rows, :] += ds
-        return 0
+    @pl.when(hh == 0)
+    def _init():
+        ds_bsum_ref[0] = jnp.zeros_like(ds_bsum_ref[0])
 
-    jax.lax.fori_loop(0, n_q_blocks, body, 0)
+    _, ds = _stu_score_grad_tile(
+        q_ref[0], k_ref[0], do_ref[0], v_ref[0], tl_q_ref[0, 0], tl_k_ref[0, 0],
+        allowed_ref[0], bias_ref[0], l_total,
+    )
+    ds_bsum_ref[0] += ds
 
 
 def _stu_pallas_bwd(
@@ -354,58 +378,65 @@ def _stu_pallas_bwd(
 
     bias, bias_per_batch = _combined_bias(ts, time_weights, pos_weights, l, num_buckets, use_time, use_pos)
     bias = pad_rows(bias, 1)
-    if bias_per_batch:
-        bias_index = lambda i: (i // h, 0, 0)  # noqa: E731
-    else:
-        bias_index = lambda i: (0, 0, 0)  # noqa: E731
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((bh, l_pad, ad), q.dtype),
-        jax.ShapeDtypeStruct((bh, l, ad), k.dtype),
-        jax.ShapeDtypeStruct((bh, l, lh), v.dtype),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, l_pad, ad), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, l, ad), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, l, lh), lambda i: (i, 0, 0)),
-    ]
-    if track_ds:
-        out_shapes.append(jax.ShapeDtypeStruct((b, l_pad, l), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, l_pad, l), lambda i: (i // h, 0, 0)))
-
-    results = pl.pallas_call(
-        partial(
-            _stu_bwd_kernel,
-            l_total=l,
-            block_q=block_q,
-            n_q_blocks=n_q,
-            track_ds=track_ds,
-            n_heads=h,
-        ),
-        grid=(bh,),
+    dq, dk, dv = pl.pallas_call(
+        partial(_stu_bwd_kernel, l_total=l),
+        grid=(bh, n_q),
         in_specs=[
-            pl.BlockSpec((1, l_pad, ad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l, ad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l, lh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, l_pad, lh), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, l_pad), lambda i: (i // h, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda i: (i // h, 0, 0)),
-            pl.BlockSpec((1, l_pad, l), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, l_pad, l), bias_index),
+            pl.BlockSpec((1, block_q, ad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, ad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, lh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, lh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i // h, 0, j)),
+            pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0)),
+            pl.BlockSpec((1, block_q, l), lambda i, j: (0, j, 0)),
+            pl.BlockSpec(
+                (1, block_q, l),
+                (lambda i, j: (i // h, j, 0)) if bias_per_batch else (lambda i, j: (0, j, 0)),
+            ),
         ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=[
+            pl.BlockSpec((1, block_q, ad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, ad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, lh), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l_pad, ad), q.dtype),
+            jax.ShapeDtypeStruct((bh, l, ad), k.dtype),
+            jax.ShapeDtypeStruct((bh, l, lh), v.dtype),
+        ],
         interpret=interpret,
     )(q3, k3, v3, do3, tl_q3, tl_k3, allowed3, bias)
 
-    dq = results[0][:, :l, :].reshape(b, h, l, ad)
-    dk = results[1].reshape(b, h, l, ad)
-    dv = results[2].reshape(b, h, l, lh)
+    dq = dq[:, :l, :].reshape(b, h, l, ad)
+    dk = dk.reshape(b, h, l, ad)
+    dv = dv.reshape(b, h, l, lh)
 
     dtw = jnp.zeros_like(time_weights)
     dpw = jnp.zeros_like(pos_weights)
     if track_ds:
-        ds_bsum = results[3][:, :l, :]  # (B, L, L), summed over heads
+        # second pass, heads minor: head-summed score gradient for the two
+        # bias tables, accumulated in the consecutively-revisited (b, j) block
+        ds_bsum = pl.pallas_call(
+            partial(_stu_ds_kernel, l_total=l),
+            grid=(b, n_q, h),
+            in_specs=[
+                pl.BlockSpec((1, block_q, ad), lambda bi, j, hh: (bi * h + hh, j, 0)),
+                pl.BlockSpec((1, l, ad), lambda bi, j, hh: (bi * h + hh, 0, 0)),
+                pl.BlockSpec((1, l, lh), lambda bi, j, hh: (bi * h + hh, 0, 0)),
+                pl.BlockSpec((1, block_q, lh), lambda bi, j, hh: (bi * h + hh, j, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bi, j, hh: (bi, 0, j)),
+                pl.BlockSpec((1, 1, l), lambda bi, j, hh: (bi, 0, 0)),
+                pl.BlockSpec((1, block_q, l), lambda bi, j, hh: (0, j, 0)),
+                pl.BlockSpec(
+                    (1, block_q, l),
+                    (lambda bi, j, hh: (bi, j, 0)) if bias_per_batch else (lambda bi, j, hh: (0, j, 0)),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, l), lambda bi, j, hh: (bi, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, l_pad, l), jnp.float32),
+            interpret=interpret,
+        )(q3, k3, v3, do3, tl_q3, tl_k3, allowed3, bias)[:, :l, :]
         if use_time:
             # scatter-free table gradient: same compare-and-reduce as
             # `_bucket_bias`'s custom VJP (segment_sum serializes on TPU)
@@ -452,22 +483,12 @@ def _stu_fwd(q, k, v, ts, timeline, allowed, time_weights, pos_weights, num_buck
 
 def _stu_bwd(num_buckets, use_time, use_pos, block_q, interpret, residuals, d_out):
     q, k, v, ts, timeline, allowed, time_weights, pos_weights = residuals
-
-    if q.shape[2] <= MAX_FUSED_BWD_LEN:
-        dq, dk, dv, dtw, dpw = _stu_pallas_bwd(
-            q, k, v, ts, timeline, time_weights, pos_weights, allowed, d_out,
-            num_buckets, use_time, use_pos, block_q, interpret,
-        )
-    else:  # VMEM-bound: recompute in XLA (materializes the score tensor)
-
-        def forward(q, k, v, time_weights, pos_weights):
-            return _stu_reference(
-                q, k, v, ts, timeline, time_weights, pos_weights, allowed,
-                num_buckets, use_time, use_pos,
-            )
-
-        _, vjp = jax.vjp(forward, q, k, v, time_weights, pos_weights)
-        dq, dk, dv, dtw, dpw = vjp(d_out)
+    # the Pallas backward's VMEM blocks are O(block_q * L), so it serves
+    # every session length the forward does (no XLA-recompute fallback)
+    dq, dk, dv, dtw, dpw = _stu_pallas_bwd(
+        q, k, v, ts, timeline, time_weights, pos_weights, allowed, d_out,
+        num_buckets, use_time, use_pos, block_q, interpret,
+    )
     return dq, dk, dv, jnp.zeros_like(ts), jnp.zeros_like(timeline), jnp.zeros_like(allowed), dtw, dpw
 
 
