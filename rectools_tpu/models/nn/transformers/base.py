@@ -412,10 +412,15 @@ class TransformerModelBase(ModelBase[TransformerModelConfig_T]):
         calls)."""
         if self.recommend_batch_size is not None:
             return self.recommend_batch_size
-        budget_bytes = 256 << 20
-        per_row = max(1, self.session_max_len * self.n_factors * 4)
-        raw = budget_bytes // per_row
-        clamped = max(512, min(8192, int(raw)))
+        act_budget = 256 << 20
+        per_row_act = max(1, self.session_max_len * self.n_factors * 4)
+        # the encode pass's attention scores are O(H * L^2) PER ROW on the
+        # XLA path (~2 live score tensors); without this term the auto batch
+        # explodes memory at long session_max_len (L >= 512)
+        score_budget = 2 << 30
+        per_row_scores = self.n_heads * self.session_max_len**2 * 4 * 2
+        raw = min(act_budget // per_row_act, score_budget // max(1, per_row_scores))
+        clamped = max(64, min(8192, int(raw)))
         return 1 << (clamped.bit_length() - 1)
 
     def _recommend_u2i(

@@ -240,3 +240,22 @@ class TestDeviceNegatives:
             r1 = m1.recommend([10], DATASET, k=3, filter_viewed=False)
             r2 = m2.recommend([10], DATASET, k=3, filter_viewed=False)
             np.testing.assert_allclose(r1[Columns.Score].values, r2[Columns.Score].values, atol=1e-6)
+
+
+class TestRecommendBatchAutoScale:
+    def test_production_shape_keeps_large_batch(self) -> None:
+        # KION-like config: activation budget dominates -> batch stays big
+        model = SASRecModel(n_factors=128, n_heads=4, session_max_len=100)
+        assert model._effective_recommend_batch_size() == 4096
+
+    def test_long_sessions_shrink_the_batch(self) -> None:
+        # at long L the encode pass's O(H * L^2) attention scores dominate;
+        # without the score term the auto batch OOMed hosts at L=512
+        model = SASRecModel(n_factors=32, n_heads=2, session_max_len=512)
+        assert model._effective_recommend_batch_size() <= 512
+        long_model = SASRecModel(n_factors=128, n_heads=4, session_max_len=1024)
+        assert long_model._effective_recommend_batch_size() <= 128
+
+    def test_explicit_value_wins(self) -> None:
+        model = SASRecModel(session_max_len=1024, recommend_batch_size=2048)
+        assert model._effective_recommend_batch_size() == 2048
