@@ -107,6 +107,7 @@ class TransformerTrainingModuleBase:
         callbacks: tp.Optional[tp.Sequence["TrainingCallback"]] = None,
         val_recall_k: tp.Optional[int] = None,
         remat: bool = False,
+        negatives_sharing: str = "positionwise",
         **kwargs: tp.Any,
     ) -> None:
         self.backbone = backbone
@@ -131,6 +132,22 @@ class TransformerTrainingModuleBase:
         # shapes that array is tens of MB per step of pure H2D traffic.
         # Applies only to CatalogUniformSampler; custom samplers stay on host.
         self.negatives_on_device = negatives_on_device
+        # "positionwise" (reference parity): independent negatives per
+        # position — a (B, L, K, D) embedding gather whose backward is a
+        # scatter-add of B*L*K rows, which TPU serializes (measured 188 ms
+        # fwd+bwd vs 11 ms for the FULL 15.7k-catalog dense matmul at
+        # B=512, L=100, K=257). "batch": one (B, K) negative set shared by
+        # all positions of each session — the negative logits become a dense
+        # (B, L, K) MXU einsum and the gather shrinks by L×. Standard
+        # shared-negatives sampled softmax; requires device-drawn negatives.
+        if negatives_sharing not in ("positionwise", "batch"):
+            raise ValueError("negatives_sharing must be 'positionwise' or 'batch'")
+        if negatives_sharing == "batch" and not negatives_on_device:
+            raise ValueError(
+                "negatives_sharing='batch' draws its negatives on device; "
+                "it requires negatives_on_device=True and the default CatalogUniformSampler"
+            )
+        self.negatives_sharing = negatives_sharing
         # Gradient rematerialization: the backward recomputes the tower
         # forward instead of keeping its per-block activations in HBM —
         # trades one extra forward of FLOPs for O(n_blocks * B * L * D) of
@@ -332,7 +349,39 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
             )
-        if self._requires_negatives:
+        if self._requires_negatives and self.negatives_sharing == "batch":
+            if neg_rng is None:
+                raise ValueError("neg_rng required when negatives are sampled on device")
+            from ..dropout import hash_uniform_ints
+
+            n_negatives = self.data_preparator.n_negatives
+            b_sz, _ = batch["y"].shape
+            shared_negs = hash_uniform_ints(
+                neg_rng, (b_sz, n_negatives), len(self.item_extra_tokens), self.backbone.item_model.n_items
+            )
+
+            def forward(p: Params, b: tp.Dict[str, jnp.ndarray], negs: jnp.ndarray, r: tp.Any):
+                def shared_logits(module, b, negs):
+                    item_embs = module.item_model.embed_catalog(deterministic=deterministic)
+                    session_embs = module.encode_sessions(b, item_embs, deterministic=deterministic)
+                    s_t, i_t = module.similarity_module.catalog_loss_towers(session_embs, item_embs)
+                    # positives: one row gather per position (B*L rows)
+                    pos_logits = jnp.einsum(
+                        "bld,bld->bl", s_t, i_t[b["y"]], preferred_element_type=jnp.float32
+                    )
+                    # shared negatives: B*K rows gathered once, then a dense
+                    # (B, L, K) MXU einsum — no B*L*K gather/scatter
+                    neg_logits = jnp.einsum(
+                        "bld,bkd->blk", s_t, i_t[negs], preferred_element_type=jnp.float32
+                    )
+                    return jnp.concatenate([pos_logits[..., None], neg_logits], axis=-1)
+
+                return self.backbone.apply({"params": p}, b, negs, method=shared_logits, rngs=r)
+
+            if self.remat and not deterministic:
+                forward = jax.checkpoint(forward)
+            logits = forward(params, batch, shared_negs, rngs)
+        elif self._requires_negatives:
             y = batch["y"]
             if "negatives" in batch:
                 negatives = batch["negatives"]
@@ -523,6 +572,11 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         """Epoch loop. Loaders come from factories so each fit/fit_partial call
         re-derives its host rng stream from the module seed and epoch counter
         (deterministic refits)."""
+        if self.negatives_sharing == "batch" and self._requires_negatives and not self._use_device_negatives:
+            raise ValueError(
+                "negatives_sharing='batch' requires device-drawn negatives "
+                "(negatives_on_device=True with the default CatalogUniformSampler)"
+            )
         self.data_preparator.host_negatives = not self._use_device_negatives
         host_rng = np.random.default_rng(np.random.SeedSequence(entropy=(self.seed, self.epochs_completed)))
         train_loader = train_loader_factory(host_rng)

@@ -259,3 +259,47 @@ class TestRecommendBatchAutoScale:
     def test_explicit_value_wins(self) -> None:
         model = SASRecModel(session_max_len=1024, recommend_batch_size=2048)
         assert model._effective_recommend_batch_size() == 2048
+
+
+class TestSharedNegatives:
+    def test_batch_sharing_trains_and_recommends(self) -> None:
+        model = SASRecModel(
+            loss="sampled_softmax", n_negatives=4,
+            training_module_kwargs={"negatives_sharing": "batch"}, **TINY,
+        ).fit(DATASET)
+        assert np.isfinite(model.training_module.train_loss_history).all()
+        reco = model.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        assert np.isfinite(reco[Columns.Score].values).all()
+
+    @pytest.mark.parametrize("loss", ["BCE", "gBCE"])
+    def test_batch_sharing_other_sampled_losses(self, loss) -> None:
+        model = SASRecModel(
+            loss=loss, n_negatives=4,
+            training_module_kwargs={"negatives_sharing": "batch"}, **TINY,
+        ).fit(DATASET)
+        assert np.isfinite(model.training_module.train_loss_history).all()
+
+    def test_batch_sharing_deterministic(self) -> None:
+        kwargs = dict(loss="sampled_softmax", n_negatives=4,
+                      training_module_kwargs={"negatives_sharing": "batch"}, **TINY)
+        m1 = SASRecModel(**kwargs).fit(DATASET)
+        m2 = SASRecModel(**kwargs).fit(DATASET)
+        np.testing.assert_allclose(
+            m1.training_module.train_loss_history, m2.training_module.train_loss_history, rtol=1e-6
+        )
+
+    def test_batch_sharing_requires_device_negatives(self) -> None:
+        # the training module is constructed at fit time
+        with pytest.raises(ValueError):
+            SASRecModel(
+                loss="sampled_softmax", n_negatives=4,
+                training_module_kwargs={"negatives_sharing": "batch", "negatives_on_device": False},
+                **TINY,
+            ).fit(DATASET)
+
+    def test_invalid_sharing_value_raises(self) -> None:
+        with pytest.raises(ValueError):
+            SASRecModel(
+                loss="sampled_softmax", n_negatives=4,
+                training_module_kwargs={"negatives_sharing": "nope"}, **TINY,
+            ).fit(DATASET)
