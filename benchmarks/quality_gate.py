@@ -18,7 +18,8 @@ so this gate substitutes the strongest offline evidence available:
    those rows must match ours within run variance — exact quality parity
    where the reference can execute at all.
 
-Outputs: QUALITY_r02.json (machine) + QUALITY_r02.md (table) at repo root.
+Outputs: QUALITY_r02.json (machine) + QUALITY_r02_auto.md (table) at repo
+root. QUALITY_r02.md is the CURATED narrative document - never overwritten here.
 
 Run:  PYTHONPATH=/root/repo[:/root/.axon_site] python benchmarks/quality_gate.py
 """
@@ -204,6 +205,17 @@ def run_tpu_models(train: pd.DataFrame, test: pd.DataFrame) -> dict:
         "sasrec_sampled": lambda: SASRecModel(
             loss="sampled_softmax", n_negatives=128, **transformer_common
         ),
+        # TPU-recommended sampled mode: one negative set shared across each
+        # session's positions (PERF_r02.md "gather inversion" — 15x faster
+        # at production scale, same quality tier here)
+        "sasrec_shared_negs": lambda: SASRecModel(
+            loss="sampled_softmax",
+            n_negatives=128,
+            **{
+                **transformer_common,
+                "training_module_kwargs": {"val_recall_k": K, "negatives_sharing": "batch"},
+            },
+        ),
         "esasrec": lambda: SASRecModel(
             loss="sampled_softmax",
             n_negatives=128,
@@ -328,8 +340,8 @@ def main() -> None:
                     f"| {scope}/{name} | {vals[f'recall@{K}']} | {vals[f'ndcg@{K}']} "
                     f"| {vals[f'map@{K}']} | {vals.get('fit+reco_s', '-')} |"
                 )
-    (REPO / "QUALITY_r02.md").write_text("\n".join(lines) + "\n")
-    log("wrote QUALITY_r02.json / QUALITY_r02.md")
+    (REPO / "QUALITY_r02_auto.md").write_text("\n".join(lines) + "\n")
+    log("wrote QUALITY_r02.json / QUALITY_r02_auto.md (QUALITY_r02.md is the curated doc)")
 
 
 if __name__ == "__main__":
