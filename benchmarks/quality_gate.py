@@ -207,13 +207,19 @@ def run_tpu_models(train: pd.DataFrame, test: pd.DataFrame) -> dict:
         ),
         # TPU-recommended sampled mode: one negative set shared across each
         # session's positions (PERF_r02.md "gather inversion" — 15x faster
-        # at production scale, same quality tier here)
+        # at production scale, same quality tier here). Shared-negative
+        # training dips deeper through the early epochs, so its early
+        # stopping needs the warmup guard (the trap the narrative documents).
         "sasrec_shared_negs": lambda: SASRecModel(
             loss="sampled_softmax",
             n_negatives=128,
             **{
                 **transformer_common,
                 "training_module_kwargs": {"val_recall_k": K, "negatives_sharing": "batch"},
+                "get_callbacks_func": lambda: [
+                    EarlyStopping(monitor=f"val_recall@{K}", patience=3, mode="max", warmup_epochs=8),
+                    BestStateKeeper(monitor=f"val_recall@{K}", mode="max"),
+                ],
             },
         ),
         "esasrec": lambda: SASRecModel(

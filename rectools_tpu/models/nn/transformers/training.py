@@ -9,6 +9,7 @@ u2i/i2i recommend paths all follow the reference.
 """
 
 import typing as tp
+import warnings
 from functools import partial
 
 import jax
@@ -577,6 +578,26 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 "negatives_sharing='batch' requires device-drawn negatives "
                 "(negatives_on_device=True with the default CatalogUniformSampler)"
             )
+        if (
+            self._requires_negatives
+            and self.negatives_sharing == "positionwise"
+            and jax.default_backend() == "tpu"
+        ):
+            n_negs = self.data_preparator.n_negatives or 0
+            batch_rows = self.data_preparator.batch_size * self.data_preparator.session_max_len
+            n_items = self.backbone.item_model.n_items
+            # per-position candidates are a (B*L*K, D) gather whose backward
+            # scatter TPU serializes; once the candidate count dwarfs the
+            # catalog, the dense full-catalog loss (or shared negatives) is
+            # strictly faster — measured 15x at KION scale (PERF_r02.md)
+            if n_negs and batch_rows * n_negs > 8 * n_items:
+                warnings.warn(
+                    "Per-position negative sampling gathers "
+                    f"{batch_rows * n_negs:,} candidate embeddings per step against a "
+                    f"{n_items:,}-item catalog — a TPU anti-pattern (serialized scatter in "
+                    "the backward). Consider training_module_kwargs={'negatives_sharing': "
+                    "'batch'} or loss='softmax' (see PERF_r02.md, 'gather inversion')."
+                )
         self.data_preparator.host_negatives = not self._use_device_negatives
         host_rng = np.random.default_rng(np.random.SeedSequence(entropy=(self.seed, self.epochs_completed)))
         train_loader = train_loader_factory(host_rng)
