@@ -321,7 +321,14 @@ def main() -> None:
         "rectools_tpu": tpu_results,
         "reference": ref_results,
     }
-    (REPO / "QUALITY_r02.json").write_text(json.dumps(payload, indent=2))
+    json_path = REPO / "QUALITY_r02.json"
+    if json_path.exists():  # preserve auxiliary record sections (push_runs, ...)
+        try:
+            for key, value in json.loads(json_path.read_text()).items():
+                payload.setdefault(key, value)
+        except (json.JSONDecodeError, OSError):
+            pass
+    json_path.write_text(json.dumps(payload, indent=2))
 
     lines = [
         "# Quality gate — round 2",
