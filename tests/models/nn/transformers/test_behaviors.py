@@ -303,3 +303,13 @@ class TestSharedNegatives:
                 loss="sampled_softmax", n_negatives=4,
                 training_module_kwargs={"negatives_sharing": "nope"}, **TINY,
             ).fit(DATASET)
+
+    def test_batch_sharing_works_for_hstu(self) -> None:
+        from rectools_tpu.models.nn.transformers import HSTUModel
+
+        model = HSTUModel(
+            n_blocks=1, n_heads=2, n_factors=32, session_max_len=8, epochs=1,
+            batch_size=32, loss="sampled_softmax", n_negatives=4,
+            training_module_kwargs={"negatives_sharing": "batch"}, seed=0,
+        ).fit(DATASET)
+        assert np.isfinite(model.training_module.train_loss_history).all()
