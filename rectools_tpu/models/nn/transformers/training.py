@@ -683,6 +683,8 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         """Materialize user (last-position) and item tower outputs
         (reference lightning.py:378-400). Dispatch-all-then-materialize so
         batch round trips overlap (same pattern as ops/topk.py serving)."""
+        from ....utils.device_fetch import materialize_batches
+
         pending: tp.List[tp.Tuple[int, jnp.ndarray]] = []
         for batch in recommend_loader:
             n = batch["x"].shape[0]
@@ -690,7 +692,8 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}  # recommend stays single-device
             pending.append((n, self._encode_last(self.params, device_batch)))
         item_handle = self._catalog_item_tower(self.params)
-        user_embs = [np.asarray(embs[:n]) for n, embs in pending]
+        fetched = materialize_batches([(embs,) for _, embs in pending])
+        user_embs = [embs_np[:n] for (n, _), (embs_np,) in zip(pending, fetched)]
         item_embs = np.asarray(item_handle)
         return np.concatenate(user_embs, axis=0), item_embs
 

@@ -252,9 +252,12 @@ def random_rank_topk(
         handles = _random_mask_topk(keys[bi], jnp.asarray(seen), jnp.int32(n_candidates), n_pad, k_eff)
         pending.append((batch_subject_ids, b, handles))
 
-    for batch_subject_ids, b, (idx, valid) in pending:
-        idx = np.asarray(idx[:b])
-        valid = np.asarray(valid[:b])
+    from ..utils.device_fetch import materialize_batches
+
+    fetched = materialize_batches([handles for _, _, handles in pending])
+    for (batch_subject_ids, b, _), (idx_p, valid_p) in zip(pending, fetched):
+        idx = idx_p[:b]
+        valid = valid_p[:b]
         counts = valid.sum(axis=1)
         flat_valid = valid.ravel()
         flat_idx = idx.ravel()[flat_valid]
@@ -484,8 +487,12 @@ def rank_topk(
 
         pending.append((batch_subject_ids, engine.query_batch_async(sub_block, k, seen)))
 
-    for batch_subject_ids, handles in pending:
-        idx, scores, valid = engine.materialize(handles, len(batch_subject_ids))
+    from ..utils.device_fetch import materialize_batches
+
+    fetched = materialize_batches([handles for _, handles in pending])
+    for (batch_subject_ids, _), (idx_p, scores_p, valid_p) in zip(pending, fetched):
+        b = len(batch_subject_ids)
+        idx, scores, valid = idx_p[:b], scores_p[:b], valid_p[:b]
         # Vectorised strip of masked entries (the reference's neginf-sentinel
         # strip at rank_implicit.py:83-118): rows stay rank-sorted because
         # flatten preserves per-row order.
