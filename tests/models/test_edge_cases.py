@@ -149,3 +149,28 @@ class TestRankColumnInvariants:
         for _, group in reco.groupby(Columns.User):
             assert list(group[Columns.Rank]) == list(range(1, len(group) + 1))
             assert (group[Columns.Score].diff().dropna() <= 0).all()
+
+
+class TestRecoTableRank:
+    def test_rank_matches_groupby_cumcount_any_order(self) -> None:
+        from rectools_tpu.models.base import ModelBase
+
+        rng = np.random.default_rng(0)
+        targets = rng.integers(0, 50, 2000)  # repeated, NON-contiguous targets
+        items = rng.integers(0, 500, 2000)
+        scores = rng.random(2000).astype(np.float32)
+        df = ModelBase._make_reco_table((targets, items, scores), Columns.User, add_rank_col=True)
+        expected = (
+            pd.DataFrame({Columns.User: targets}).groupby(Columns.User, sort=False).cumcount() + 1
+        )
+        np.testing.assert_array_equal(df[Columns.Rank].to_numpy(), expected.to_numpy())
+
+    def test_rank_empty(self) -> None:
+        from rectools_tpu.models.base import ModelBase
+
+        df = ModelBase._make_reco_table(
+            (np.array([], dtype=np.int64), np.array([], dtype=np.int64), np.array([], dtype=np.float32)),
+            Columns.User,
+            add_rank_col=True,
+        )
+        assert len(df) == 0 and Columns.Rank in df.columns
