@@ -313,3 +313,15 @@ class TestSharedNegatives:
             training_module_kwargs={"negatives_sharing": "batch"}, seed=0,
         ).fit(DATASET)
         assert np.isfinite(model.training_module.train_loss_history).all()
+
+    def test_sharing_survives_save_load(self, tmp_path) -> None:
+        model = SASRecModel(
+            loss="sampled_softmax", n_negatives=4,
+            training_module_kwargs={"negatives_sharing": "batch"}, **TINY,
+        ).fit(DATASET)
+        path = str(tmp_path / "m.pkl")
+        model.save(path)
+        loaded = SASRecModel.load(path)
+        assert loaded.training_module.negatives_sharing == "batch"
+        reco = loaded.recommend([10, 20], DATASET, k=3, filter_viewed=False)
+        assert np.isfinite(reco[Columns.Score].values).all()
