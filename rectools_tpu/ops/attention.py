@@ -35,9 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
-# the Pallas backward keeps the full (L_pad, L) bias block in VMEM; beyond
-# this it falls back to the XLA recompute backward
-MAX_FUSED_BWD_LEN = 1024
 
 _GOLDEN = np.uint32(0x9E3779B9)
 _GOLDEN_I32 = np.int32(np.uint32(0x9E3779B9).astype(np.int32))  # same bits, signed
@@ -237,79 +234,78 @@ def _pallas_attention(
 
 def _attn_bwd_kernel(
     seed_ref,
-    q_ref,  # (G, L_pad, dh)
+    q_ref,  # (G, block_q, dh) — this q block
     k_ref,  # (G, L, dh)
     v_ref,  # (G, L, dh)
-    bias_ref,  # (bias_rows, L_pad, L)
-    lse_ref,  # (G, 1, L_pad) — padded rows hold +inf-ish so p == 0 there
-    delta_ref,  # (G, 1, L_pad)
-    do_ref,  # (G, L_pad, dh)
-    dq_ref,  # (G, L_pad, dh)
-    dk_ref,  # (G, L, dh)
-    dv_ref,  # (G, L, dh)
+    bias_ref,  # (bias_rows, block_q, L)
+    lse_ref,  # (G, 1, block_q) — padded rows hold +inf-ish so p == 0 there
+    delta_ref,  # (G, 1, block_q)
+    do_ref,  # (G, block_q, dh)
+    dq_ref,  # (G, block_q, dh)
+    dk_ref,  # (G, L, dh) — accumulated over the q-block (minor) grid dim
+    dv_ref,  # (G, L, dh) — accumulated likewise
     *,
     scale: float,
     dropout_rate: float,
     block_q: int,
-    n_q_blocks: int,
     g_rows: int,
     bias_row_of: tp.Callable[[int], int],
 ):
-    """One program per group of ``g_rows`` batch*head rows: loop q blocks,
-    recompute probabilities from lse, regenerate the dropout mask, accumulate
-    dk/dv in VMEM. Row grouping amortizes program-launch overhead exactly as
-    in the forward."""
+    """Grid (n_groups, n_q): one program per (row group, q block). dk/dv
+    blocks are indexed by the group only, so they stay VMEM-resident across
+    the CONSECUTIVE q-block programs and accumulate there. Every VMEM block
+    is O(block_q * L) or smaller — session length is unbounded in the
+    backward (the old per-group q loop held full (L_pad, L) bias blocks and
+    capped at L=1024). Row grouping amortizes program-launch overhead
+    exactly as in the forward."""
     i = pl.program_id(0)
+    j = pl.program_id(1)
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     for g in range(g_rows):  # static unroll
         k = k_ref[g]  # (L, dh)
         v = v_ref[g]
         l_total = k.shape[0]
-        bias_row = bias_row_of(g)
 
-        dk_ref[g] = jnp.zeros_like(dk_ref[g])
-        dv_ref[g] = jnp.zeros_like(dv_ref[g])
+        @pl.when(j == 0)
+        def _init(g=g):
+            dk_ref[g] = jnp.zeros_like(dk_ref[g])
+            dv_ref[g] = jnp.zeros_like(dv_ref[g])
 
-        def body(qi, _, g=g, k=k, v=v, l_total=l_total, bias_row=bias_row):
-            rows = pl.ds(qi * block_q, block_q)
-            q_blk = q_ref[g, rows, :]  # (block_q, dh)
-            do_blk = do_ref[g, rows, :]
-            lse_blk = lse_ref[g, 0, rows]
-            delta_blk = delta_ref[g, 0, rows]
-            s = (
-                jax.lax.dot_general(
-                    q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                * scale
-                + bias_ref[bias_row, rows, :]
+        q_blk = q_ref[g]  # (block_q, dh)
+        do_blk = do_ref[g]
+        lse_blk = lse_ref[g, 0]
+        delta_blk = delta_ref[g, 0]
+        s = (
+            jax.lax.dot_general(
+                q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            p = jnp.exp(s - lse_blk[:, None])  # normalized probs; 0 on padded rows
-            dp = jax.lax.dot_general(
-                do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            * scale
+            + bias_ref[bias_row_of(g)]
+        )
+        p = jnp.exp(s - lse_blk[:, None])  # normalized probs; 0 on padded rows
+        dp = jax.lax.dot_general(
+            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            keep = dropout_keep_mask(
+                seed_ref[0], i * g_rows + g, j * block_q, block_q, l_total, dropout_rate
             )
-            if dropout_rate > 0.0:
-                keep = dropout_keep_mask(
-                    seed_ref[0], i * g_rows + g, qi * block_q, block_q, l_total, dropout_rate
-                )
-                p_dropped = p * keep * inv_keep
-                dp = dp * keep * inv_keep
-            else:
-                p_dropped = p
-            dv_ref[g] += jax.lax.dot_general(
-                p_dropped, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).astype(dv_ref.dtype)
-            ds = p * (dp - delta_blk[:, None])
-            dq_ref[g, rows, :] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-            dk_ref[g] += (
-                jax.lax.dot_general(
-                    ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                * scale
-            ).astype(dk_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, n_q_blocks, body, 0)
+            p_dropped = p * keep * inv_keep
+            dp = dp * keep * inv_keep
+        else:
+            p_dropped = p
+        dv_ref[g] += jax.lax.dot_general(
+            p_dropped, do_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        ds = p * (dp - delta_blk[:, None])
+        dq_ref[g] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dk_ref[g] += (
+            jax.lax.dot_general(
+                ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
 
 
 def _pallas_attention_bwd(
@@ -351,13 +347,14 @@ def _pallas_attention_bwd(
         bias3 = jnp.pad(bias3, ((0, 0), (0, pad), (0, 0)))
 
     itemsize = jnp.dtype(q.dtype).itemsize
-    block_bytes = (3 * l_pad * dh + 4 * l * dh) * itemsize  # q,do,dq + k,v,dk,dv
-    row_bytes = 2 * block_bytes + _TEMP_TILES_PER_ROW * block_q * l * 4
-    g_rows = _pick_group(bh, h, bias_b, bias_h, row_bytes, l_pad * l * 4)
+    # per group-row residents: k,v,dk,dv full-length + q,do,dq one q block
+    block_bytes = (3 * block_q * dh + 4 * l * dh) * itemsize
+    row_bytes = block_bytes + _TEMP_TILES_PER_ROW * block_q * l * 4
+    g_rows = _pick_group(bh, h, bias_b, bias_h, row_bytes, block_q * l * 4)
     bias_rows, bias_block_index, bias_row_of = _bias_group_layout(bias_b, bias_h, h, g_rows)
 
-    def bias_row_index(i, *_):
-        return (bias_block_index(i), 0, 0)
+    def bias_row_index(i, j, *_):
+        return (bias_block_index(i), j, 0)
 
     dq, dk, dv = pl.pallas_call(
         partial(
@@ -365,26 +362,25 @@ def _pallas_attention_bwd(
             scale=scale,
             dropout_rate=dropout_rate,
             block_q=block_q,
-            n_q_blocks=n_q_blocks,
             g_rows=g_rows,
             bias_row_of=bias_row_of,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bh // g_rows,),
+            grid=(bh // g_rows, n_q_blocks),
             in_specs=[
-                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((bias_rows, l_pad, l), bias_row_index),
-                pl.BlockSpec((g_rows, 1, l_pad), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, 1, l_pad), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((bias_rows, block_q, l), bias_row_index),
+                pl.BlockSpec((g_rows, 1, block_q), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((g_rows, 1, block_q), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((g_rows, block_q, dh), lambda i, j, *_: (i, j, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((g_rows, l_pad, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((g_rows, l, dh), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, block_q, dh), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((g_rows, l, dh), lambda i, j, *_: (i, 0, 0)),
             ],
         ),
         out_shape=[
@@ -485,18 +481,17 @@ def _fused_attention_bwd(scale, dropout_rate, block_q, interpret, bias_has_grad,
     q, k, v, bias, seed, out, lse = residuals
     delta = jnp.sum(d_out.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    l = q.shape[2]
-    if l <= MAX_FUSED_BWD_LEN:
-        dq, dk, dv = _pallas_attention_bwd(
-            q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate, block_q, interpret
-        )
-        ds = None
-    else:
-        dq, dk, dv, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
+    # the (groups, q-block) grid keeps every VMEM block O(block_q * L), so
+    # the Pallas backward serves every session length the forward does
+    dq, dk, dv = _pallas_attention_bwd(
+        q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate, block_q, interpret
+    )
 
     if bias_has_grad:
-        if ds is None:
-            *_unused, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
+        # learnable-bias layers need the full score gradient; that is a
+        # materialized (B, H, L, L) quantity by definition, so it comes from
+        # the XLA recompute (opt-in path, not used by the mask-only default)
+        *_unused, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
         db = ds
         if bias.shape[0] == 1:
             db = db.sum(axis=0, keepdims=True)
