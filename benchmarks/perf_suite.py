@@ -401,7 +401,14 @@ def main():
         log(f"wrote {path}")
         return
     payload = run_tpu_suite()
-    (REPO / "PERF_r02.json").write_text(json.dumps(payload, indent=2))
+    json_path = REPO / "PERF_r02.json"
+    if json_path.exists():  # preserve hand-added one-off rows (l2048, hstu_long_ctx, ...)
+        try:
+            for key, value in json.loads(json_path.read_text()).items():
+                payload.setdefault(key, value)
+        except (json.JSONDecodeError, OSError):
+            pass
+    json_path.write_text(json.dumps(payload, indent=2))
 
     lines = ["# Performance suite — round 2", "", f"Device: {payload['device']}", ""]
     lines += ["| workload | examples/s | step ms | TFLOP/s | MFU (bf16 peak) | MFU (f32 peak) |", "|---|---|---|---|---|---|"]
