@@ -78,8 +78,32 @@ def _solve_and_scatter(
     return out.at[rows].set(x)
 
 
+def _bucket_spans(
+    sorted_lengths: np.ndarray, batch_size: int, area_budget: int
+) -> tp.List[tp.Tuple[int, int]]:
+    """Split degree-ASCENDING rows into (start, stop) bucket spans such that
+    each bucket's padded area b_pad * l_pad stays under ``area_budget``
+    (at least 1 row per bucket). Without the cap, skewed degrees explode
+    the padding: at KION scale the top item has ~500k interactions, so a
+    2048-row bucket padded to its pow2 degree is a 2^30-row gather
+    (observed 550 GB allocation attempt)."""
+    spans = []
+    i = 0
+    n = len(sorted_lengths)
+    while i < n:
+        j = i + 1
+        while j < n and (j - i) < batch_size:
+            l_pad = _next_pow2(int(sorted_lengths[j]), minimum=8)
+            if _next_pow2(j - i + 1, minimum=8) * l_pad > area_budget:
+                break
+            j += 1
+        spans.append((i, j))
+        i = j
+    return spans
+
+
 def _pack_degree_buckets(
-    xy_csr: sparse.csr_matrix, batch_size: int, dump_row: int
+    xy_csr: sparse.csr_matrix, batch_size: int, dump_row: int, area_budget: int = 1 << 22
 ) -> tp.List[tp.Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Degree-sorted (rows, idx, conf) batches, padded to pow2 shapes.
 
@@ -87,7 +111,8 @@ def _pack_degree_buckets(
     iterations, so the ragged-to-padded packing (and its H2D upload) must not
     sit inside the iteration loop. Zero-degree subjects are left out — the
     half-step starts from zeros, which is their exact solution (b = 0).
-    Padding rows scatter into ``dump_row``.
+    Padding rows scatter into ``dump_row``. Bucket sizes adapt so the
+    padded area stays bounded under degree skew (`_bucket_spans`).
     """
     n_subjects = xy_csr.shape[0]
     indptr = xy_csr.indptr
@@ -96,8 +121,8 @@ def _pack_degree_buckets(
     order = order[lengths[order] > 0]
 
     buckets = []
-    for start in range(0, len(order), batch_size):
-        rows = order[start : start + batch_size]
+    for start, stop in _bucket_spans(lengths[order], batch_size, area_budget):
+        rows = order[start:stop]
         b = len(rows)
         l_pad = _next_pow2(int(lengths[rows].max()), minimum=8)
         b_pad = _next_pow2(b, minimum=8)
@@ -224,15 +249,14 @@ def als_half_step(
 
     result = out if out is not None else np.zeros((n_subjects, f), dtype=np.float32)
 
-    start = 0
-    while start < n_subjects:
-        stop = min(start + batch_size, n_subjects)
+    # area-capped spans: fixed-size buckets padded to the tallest row explode
+    # under degree skew (see _bucket_spans)
+    for start, stop in _bucket_spans(lengths[order], batch_size, 1 << 22):
         rows = order[start:stop]
         b = len(rows)
         max_len = int(lengths[rows].max()) if b else 0
         if max_len == 0:
             result[rows] = 0.0
-            start = stop
             continue
         l_pad = _next_pow2(max_len, minimum=8)
         b_pad = _next_pow2(b, minimum=8)
@@ -253,7 +277,6 @@ def als_half_step(
             conf_dev = jax.device_put(conf_dev, batch_sharding)
         x = _solve_batch(y_dev, yty, idx_dev, conf_dev)
         result[rows] = np.asarray(x[:b])
-        start = stop
     return result
 
 

@@ -41,6 +41,17 @@ def gram_matrix(
     single-device XLA call either way.
     """
     n_users, n_items = ui_csr.shape
+    if mesh is None and n_users > 4 * n_items:
+        # Tall sparse matrices: the dense row blocks below would move
+        # n_users * n_items * 4 bytes host->device (tens of GB at KION's
+        # 962k users x 15.7k items) to compute a Gram whose sparse host
+        # product costs one pass over the nnz. Compute X^T X with scipy and
+        # upload the (n_items, n_items) result once — f32 accumulation
+        # either way. The mesh path keeps device accumulation (its point is
+        # sharding the contraction FLOPs, and small-scale parity tests pin
+        # the device path bit-for-bit).
+        gram_host = (ui_csr.T @ ui_csr).toarray().astype(np.float32)
+        return jnp.asarray(gram_host)
     gram = jnp.zeros((n_items, n_items), dtype=jnp.float32)
     block_sharding = None
     if mesh is not None:
@@ -70,30 +81,78 @@ def gram_matrix(
 _DIRECT_SOLVER_MAX_N = 1024
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _spd_inverse_newton(a: jax.Array, maxiter: int, tol: jax.Array) -> jax.Array:
-    """SPD inverse by Newton–Schulz iteration: X <- X (2I - A X).
+@jax.jit
+def _newton_seed(a: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+    """Pick the better convergent seed and return (X0, a stop residual).
 
-    Quadratically convergent from the universal seed X0 = A^T / (|A|_1 |A|_inf)
-    and self-correcting in f32 — every step is two (n, n) MXU matmuls, which is
-    the shape TPU factorizations cannot reach (they serialize on panels).
-    Stops when max|A X - I| <= tol or after ``maxiter`` steps.
+    The Jacobi seed X0 = diag(1/diag(A)) starts within a few contractions of
+    the answer for diagonally-dominant-ish Grams, but Newton–Schulz only
+    converges when the SPECTRAL norm ||I - A X0||_2 < 1 — the elementwise
+    max understates it (a max-norm check was tried and diverged on dense
+    Grams). Guard with the computable bound
+    ||M||_2 <= sqrt(||M||_1 ||M||_inf); the universal seed
+    A^T/(|A|_1 |A|_inf) is convergent by construction and remains the
+    fallback. One extra (n, n) matmul either way.
     """
     n = a.shape[0]
     eye = jnp.eye(n, dtype=jnp.float32)
-    x0 = a.T / (jnp.max(jnp.sum(jnp.abs(a), axis=0)) * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
+    x_uni = a.T / (jnp.max(jnp.sum(jnp.abs(a), axis=0)) * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
+    x_jac = jnp.diag(1.0 / jnp.diag(a))
+    m_jac = jnp.dot(a, x_jac, precision=_HI) - eye
+    abs_jac = jnp.abs(m_jac)
+    spectral_bound = jnp.sqrt(jnp.max(jnp.sum(abs_jac, axis=0)) * jnp.max(jnp.sum(abs_jac, axis=1)))
+    use_jac = spectral_bound < 0.99
+    x0 = jnp.where(use_jac, x_jac, x_uni)
+    r_uni = jnp.max(jnp.abs(jnp.dot(a, x_uni, precision=_HI) - eye))
+    residual = jnp.where(use_jac, jnp.max(abs_jac), r_uni)
+    return x0, residual
 
-    def cond(state):
-        i, _, residual = state
-        return (i < maxiter) & (residual > tol)
 
-    def body(state):
-        i, x, _ = state
+@partial(jax.jit, static_argnames=("steps",))
+def _newton_chunk(a: jax.Array, x: jax.Array, steps: int) -> tp.Tuple[jax.Array, jax.Array]:
+    """``steps`` Newton–Schulz iterations X <- X (2I - A X) + the residual
+    max|A X - I| after them. All f32: bf16 iterations were tried and
+    DIVERGE in the early phase (the contraction only self-corrects while
+    ||I - A X|| < 1, and bf16 rounding tips it over when the residual is
+    near 1)."""
+    n = a.shape[0]
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def body(_, x):
         ax = jnp.dot(a, x, precision=_HI)
-        x_next = jnp.dot(x, 2.0 * eye - ax, precision=_HI)
-        return i + 1, x_next, jnp.max(jnp.abs(ax - eye))
+        return jnp.dot(x, 2.0 * eye - ax, precision=_HI)
 
-    _, x, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, jnp.float32(jnp.inf)))
+    x = jax.lax.fori_loop(0, steps, body, x)
+    residual = jnp.max(jnp.abs(jnp.dot(a, x, precision=_HI) - eye))
+    return x, residual
+
+
+def _spd_inverse_newton(a: jax.Array, maxiter: int, tol: float, chunk: int = 8) -> jax.Array:
+    """SPD inverse by Newton–Schulz iteration: X <- X (2I - A X).
+
+    Every step is two (n, n) MXU matmuls — the shape TPU factorizations
+    cannot reach (they serialize on panels). The loop runs in ``chunk``-step
+    device dispatches with the convergence check on host: a single
+    while_loop dispatch at n~16k runs minutes of device time, which remote
+    TPU runtimes may kill as hung (observed worker crash at n=15706); the
+    per-chunk sync costs microseconds against seconds of matmuls.
+    """
+    x, residual = _newton_seed(a)
+    res = float(residual)
+    best = res
+    done = 0
+    while done < maxiter and res > tol:
+        x, residual = _newton_chunk(a, x, chunk)
+        res = float(residual)
+        done += chunk
+        # f32-floor detection (measured at n=15706: convergence by iteration
+        # ~40 to a ~3e-6 floor, then zero progress — without this check a
+        # sub-floor tol burns the whole budget at 0.55 s/iteration). The
+        # res < 1e-3 guard keeps the slow EARLY plateau (residual ~= 1 for
+        # the first ~25 iterations) from triggering it.
+        if res < 1e-3 and res >= best * 0.5:
+            break
+        best = min(best, res)
     return x
 
 
@@ -113,7 +172,7 @@ def spd_inverse(a: jax.Array, maxiter: int = 200, tol: float = 1e-6) -> jax.Arra
     """
     if a.shape[0] <= _DIRECT_SOLVER_MAX_N:
         return _spd_inverse_cholesky(a)
-    return _spd_inverse_newton(a, maxiter, jnp.float32(tol))
+    return _spd_inverse_newton(a, maxiter, float(tol))
 
 
 @jax.jit

@@ -99,3 +99,25 @@ class TestSubspaceEigh:
         vals, _ = linalg.topk_eigh(np.asarray(gram), factors=5)
         w_ref = np.linalg.eigvalsh(gram.astype(np.float64))[::-1][:5]
         assert np.abs(np.asarray(vals) - w_ref).max() / w_ref.max() < 1e-5
+
+
+class TestTallGramHostPath:
+    def test_host_sparse_gram_matches_device_blocks(self):
+        # n_users > 4 * n_items triggers the host sparse product
+        ui = _zipf_csr(6000, 300, 50000, seed=5)
+        gram_host = np.asarray(linalg.gram_matrix(ui))
+        # force the device block path by keeping the matrix "short"
+        gram_blocks = np.asarray(linalg.gram_matrix(ui[:1100]))
+        ref = (ui[:1100].T @ ui[:1100]).toarray().astype(np.float32)
+        np.testing.assert_allclose(gram_blocks, ref, rtol=1e-5, atol=1e-3)
+        full_ref = (ui.T @ ui).toarray().astype(np.float32)
+        np.testing.assert_allclose(gram_host, full_ref, rtol=1e-6)
+
+    def test_ease_through_tall_gram(self):
+        ui = _zipf_csr(5000, 200, 30000, seed=6)
+        w = linalg.ease_weight(ui, regularization=50.0)
+        g = (ui.T @ ui).toarray().astype(np.float64) + 50.0 * np.eye(200)
+        p = np.linalg.inv(g)
+        w_ref = p / (-np.diag(p))[None, :]
+        np.fill_diagonal(w_ref, 0.0)
+        assert np.abs(w - w_ref).max() < 1e-4
