@@ -1,6 +1,9 @@
-"""Production-scale performance suite -> PERF_r02.json (+ auto table PERF_r02_auto.md).
+"""Production-scale performance suite -> PERF_<round>.json (+ auto table PERF_<round>_auto.md).
 
-PERF_r02.md is the CURATED narrative document — the suite never overwrites it.
+PERF_<round>.md is the CURATED narrative document — the suite never overwrites it.
+Hand-added one-off rows live under the reserved "manual" key of the JSON: the
+suite copies that section verbatim across runs and never resurrects anything
+else from a previous results file.
 
 Covers what BASELINE.json demands beyond the single headline number:
 
@@ -52,6 +55,7 @@ if "--cpu-mesh" in sys.argv and "xla_force_host_platform_device_count" not in os
     os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 
 REPO = Path(__file__).resolve().parent.parent
+ROUND = "r03"
 sys.path.insert(0, str(REPO))
 
 T0 = time.time()
@@ -396,23 +400,23 @@ def run_cpu_mesh_suite():
 def main():
     if "--cpu-mesh" in sys.argv:
         payload = {"cpu_mesh": run_cpu_mesh_suite()}
-        path = REPO / "PERF_r02_cpu_mesh.json"
+        path = REPO / f"PERF_{ROUND}_cpu_mesh.json"
         path.write_text(json.dumps(payload, indent=2))
         log(f"wrote {path}")
         return
     payload = run_tpu_suite()
-    json_path = REPO / "PERF_r02.json"
-    if json_path.exists():  # preserve hand-added one-off rows (l2048, hstu_long_ctx, ...)
+    json_path = REPO / f"PERF_{ROUND}.json"
+    if json_path.exists():  # carry over ONLY the reserved hand-added section
         try:
-            for key, value in json.loads(json_path.read_text()).items():
-                payload.setdefault(key, value)
+            payload["manual"] = json.loads(json_path.read_text()).get("manual", {})
         except (json.JSONDecodeError, OSError):
             pass
     json_path.write_text(json.dumps(payload, indent=2))
 
-    lines = ["# Performance suite — round 2", "", f"Device: {payload['device']}", ""]
+    lines = [f"# Performance suite — auto table ({ROUND})", "", f"Device: {payload['device']}", ""]
     lines += ["| workload | examples/s | step ms | TFLOP/s | MFU (bf16 peak) | MFU (f32 peak) |", "|---|---|---|---|---|---|"]
-    for key, vals in payload.items():
+    table_rows = {**payload, **payload.get("manual", {})}
+    for key, vals in table_rows.items():
         if key.startswith("train_"):
             lines.append(
                 f"| {key[6:]} | {vals['examples_per_s']} | {vals['step_ms']} | "
@@ -424,8 +428,8 @@ def main():
     lines += ["", "## Serving (top-k MIPS, KION catalog 15,872 x d=128, k=100)", ""]
     for key, val in payload["serving"].items():
         lines.append(f"- {key}: {val}")
-    (REPO / "PERF_r02_auto.md").write_text("\n".join(lines) + "\n")
-    log("wrote PERF_r02.json / PERF_r02_auto.md")
+    (REPO / f"PERF_{ROUND}_auto.md").write_text("\n".join(lines) + "\n")
+    log(f"wrote PERF_{ROUND}.json / PERF_{ROUND}_auto.md")
 
 
 if __name__ == "__main__":

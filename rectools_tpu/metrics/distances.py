@@ -37,7 +37,7 @@ class PairwiseDistanceCalculator(ABC):
 
     @staticmethod
     def _is_sequence(items: ExternalIds) -> bool:
-        return bool(isinstance(items, np.ndarray) | (isinstance(items, Sequence) & ~isinstance(items, str)))
+        return isinstance(items, np.ndarray) or (isinstance(items, Sequence) and not isinstance(items, str))
 
 
 class PairwiseHammingDistanceCalculator(PairwiseDistanceCalculator):

@@ -1,6 +1,9 @@
-"""calc_metrics dispatcher: groups metrics by family to share merges and fits.
+"""``calc_metrics``: one entry point that scores a heterogeneous bag of metrics.
 
-Behavioral parity with reference rectools/metrics/scoring.py:37-223.
+Behavioral parity target: reference rectools/metrics/scoring.py
+(``calc_metrics``). Organised as a table of metric families — each row names
+the classes it owns, the inputs it needs, and the batch calculator to call —
+so merges and per-family fits are shared across metrics of the same family.
 """
 
 import typing as tp
@@ -22,7 +25,83 @@ from .ranking import RankingMetric, calc_ranking_metrics
 from .serendipity import SerendipityMetric, calc_serendipity_metrics
 
 
-def calc_metrics(  # noqa: C901
+class _Inputs:
+    """The optional inputs of one calc_metrics call, with a memoized reco-to-
+    interactions merge shared by the families that consume it."""
+
+    def __init__(
+        self,
+        reco: pd.DataFrame,
+        interactions: tp.Optional[pd.DataFrame],
+        prev_interactions: tp.Optional[pd.DataFrame],
+        catalog: tp.Optional[Catalog],
+        ref_reco: tp.Optional[tp.Union[pd.DataFrame, tp.Dict[tp.Hashable, pd.DataFrame]]],
+    ) -> None:
+        self.reco = reco
+        self.interactions = interactions
+        self.prev_interactions = prev_interactions
+        self.catalog = catalog
+        self.ref_reco = ref_reco
+        self._merged: tp.Optional[pd.DataFrame] = None
+
+    def require(self, family: str, *arg_names: str) -> None:
+        for arg in arg_names:
+            if getattr(self, arg) is None:
+                raise ValueError(f"{family} metrics need the `{arg}` argument of calc_metrics")
+        if "ref_reco" in arg_names and isinstance(self.ref_reco, dict) and not self.ref_reco:
+            raise ValueError("intersection metrics need a non-empty `ref_reco`")
+
+    @property
+    def merged(self) -> pd.DataFrame:
+        if self._merged is None:
+            self._merged = merge_reco(self.reco, self.interactions)
+        return self._merged
+
+
+# (family name, metric classes, required inputs, batch calculator over _Inputs)
+_FAMILIES: tp.Tuple[tp.Tuple[str, tp.Any, tp.Tuple[str, ...], tp.Any], ...] = (
+    (
+        "classification",
+        (ClassificationMetric, SimpleClassificationMetric),
+        ("interactions",),
+        lambda sel, inp: calc_classification_metrics(sel, inp.merged, inp.catalog),
+    ),
+    ("ranking", RankingMetric, ("interactions",), lambda sel, inp: calc_ranking_metrics(sel, inp.merged)),
+    ("AUC", AucMetric, ("interactions",), lambda sel, inp: calc_auc_metrics(sel, inp.reco, inp.interactions)),
+    (
+        "novelty",
+        NoveltyMetric,
+        ("prev_interactions",),
+        lambda sel, inp: calc_novelty_metrics(sel, inp.reco, inp.prev_interactions),
+    ),
+    ("catalog", CatalogMetric, ("catalog",), lambda sel, inp: calc_catalog_metrics(sel, inp.reco, inp.catalog)),
+    (
+        "popularity",
+        PopularityMetric,
+        ("prev_interactions",),
+        lambda sel, inp: calc_popularity_metrics(sel, inp.reco, inp.prev_interactions),
+    ),
+    ("diversity", DiversityMetric, (), lambda sel, inp: calc_diversity_metrics(sel, inp.reco)),
+    (
+        "serendipity",
+        SerendipityMetric,
+        ("interactions", "prev_interactions", "catalog"),
+        lambda sel, inp: calc_serendipity_metrics(
+            sel, inp.reco, inp.interactions, inp.prev_interactions, inp.catalog
+        ),
+    ),
+    (
+        "intersection",
+        IntersectionMetric,
+        ("ref_reco",),
+        lambda sel, inp: calc_intersection_metrics(sel, inp.reco, inp.ref_reco),
+    ),
+    ("cross-DQ", CrossDQMetric, ("interactions",), lambda sel, inp: calc_cross_dq_metrics(sel, inp.reco, inp.interactions)),
+    ("reco-DQ", RecoDQMetric, (), lambda sel, inp: calc_reco_dq_metrics(sel, inp.reco)),
+)
+
+
+def calc_metrics(
     metrics: tp.Mapping[str, MetricAtK],
     reco: pd.DataFrame,
     interactions: tp.Optional[pd.DataFrame] = None,
@@ -30,104 +109,47 @@ def calc_metrics(  # noqa: C901
     catalog: tp.Optional[Catalog] = None,
     ref_reco: tp.Optional[tp.Union[pd.DataFrame, tp.Dict[tp.Hashable, pd.DataFrame]]] = None,
 ) -> tp.Dict[str, float]:
-    """Calculate a batch of metrics, validating required inputs per family.
+    """Score every metric in ``metrics`` against one recommendation table.
+
+    Metrics are grouped by family so shared work (the reco/interactions merge,
+    per-family fits) happens once, and each family validates the inputs it
+    needs up front.
 
     >>> import pandas as pd
     >>> from rectools_tpu import Columns
-    >>> from rectools_tpu.metrics import Accuracy, NDCG
+    >>> from rectools_tpu.metrics import Recall, MeanInvUserFreq
     >>> reco = pd.DataFrame({
-    ...     Columns.User: [1, 1, 2, 2, 3, 3, 3, 3, 4, 4, 4],
-    ...     Columns.Item: [7, 8, 1, 2, 1, 2, 3, 4, 1, 2, 3],
-    ...     Columns.Rank: [1, 2, 1, 2, 1, 2, 3, 4, 1, 2, 3]})
-    >>> interactions = pd.DataFrame({
-    ...     Columns.User: [1, 1, 2, 3, 3, 3, 4, 4, 4],
-    ...     Columns.Item: [1, 2, 1, 1, 3, 4, 1, 2, 3],
-    ...     Columns.Datetime: [1, 1, 1, 1, 1, 2, 2, 2, 2]})
-    >>> df_train = interactions.loc[interactions[Columns.Datetime] < 2]
-    >>> df_test = interactions.loc[interactions[Columns.Datetime] >= 2]
-    >>> calc_metrics(
-    ...     {'ndcg@1': NDCG(k=1), 'accuracy@1': Accuracy(k=1)},
-    ...     reco=reco, interactions=df_test, prev_interactions=df_train,
-    ...     catalog=df_train[Columns.Item].unique())
-    {'accuracy@1': 0.3333333333333333, 'ndcg@1': 0.5}
+    ...     Columns.User: [7, 7, 9, 9],
+    ...     Columns.Item: [100, 200, 100, 300],
+    ...     Columns.Rank: [1, 2, 1, 2]})
+    >>> truth = pd.DataFrame({
+    ...     Columns.User: [7, 9],
+    ...     Columns.Item: [200, 300]})
+    >>> history = pd.DataFrame({
+    ...     Columns.User: [7, 9, 9],
+    ...     Columns.Item: [100, 100, 300]})
+    >>> out = calc_metrics(
+    ...     {"recall@2": Recall(k=2), "miuf@2": MeanInvUserFreq(k=2)},
+    ...     reco=reco, interactions=truth, prev_interactions=history)
+    >>> {name: round(value, 4) for name, value in sorted(out.items())}
+    {'miuf@2': 0.5, 'recall@2': 1.0}
     """
-    merged = None
-    results: tp.Dict[str, float] = {}
-    expected_results_len = len(metrics)
+    inputs = _Inputs(reco, interactions, prev_interactions, catalog, ref_reco)
+    values: tp.Dict[str, float] = {}
+    n_expected = len(metrics)
 
-    classification_metrics = select_by_type(metrics, (ClassificationMetric, SimpleClassificationMetric))
-    if classification_metrics:
-        if interactions is None:
-            raise ValueError("For calculating classification metrics it's necessary to set 'interactions'")
-        merged = merge_reco(reco, interactions)
-        results.update(calc_classification_metrics(classification_metrics, merged, catalog))
+    for family, classes, needs, run in _FAMILIES:
+        selected = select_by_type(metrics, classes)
+        if not selected:
+            continue
+        inputs.require(family, *needs)
+        family_values = run(selected, inputs)
+        values.update(family_values)
+        if classes is IntersectionMetric:
+            # one intersection metric yields one value per reference model
+            n_expected += len(family_values) - len(selected)
 
-    ranking_metrics = select_by_type(metrics, RankingMetric)
-    if ranking_metrics:
-        if interactions is None:
-            raise ValueError("For calculating ranking metrics it's necessary to set 'interactions'")
-        merged = merged if merged is not None else merge_reco(reco, interactions)
-        results.update(calc_ranking_metrics(ranking_metrics, merged))
+    if len(values) < n_expected:
+        warnings.warn("Some metrics could not be scored: unknown metric types were skipped.")
 
-    auc_metrics = select_by_type(metrics, AucMetric)
-    if auc_metrics:
-        if interactions is None:
-            raise ValueError("For calculating AUC-like metrics it's necessary to set 'interactions'")
-        results.update(calc_auc_metrics(auc_metrics, reco, interactions))
-
-    novelty_metrics = select_by_type(metrics, NoveltyMetric)
-    if novelty_metrics:
-        if prev_interactions is None:
-            raise ValueError("For calculating novelty metrics it's necessary to set 'prev_interactions'")
-        results.update(calc_novelty_metrics(novelty_metrics, reco, prev_interactions))
-
-    catalog_metrics = select_by_type(metrics, CatalogMetric)
-    if catalog_metrics:
-        if catalog is None:
-            raise ValueError("For calculating catalog metrics it's necessary to set 'catalog'")
-        results.update(calc_catalog_metrics(catalog_metrics, reco, catalog))
-
-    popularity_metrics = select_by_type(metrics, PopularityMetric)
-    if popularity_metrics:
-        if prev_interactions is None:
-            raise ValueError("For calculating popularity metrics it's necessary to set 'prev_interactions'")
-        results.update(calc_popularity_metrics(popularity_metrics, reco, prev_interactions))
-
-    diversity_metrics = select_by_type(metrics, DiversityMetric)
-    if diversity_metrics:
-        results.update(calc_diversity_metrics(diversity_metrics, reco))
-
-    serendipity_metrics = select_by_type(metrics, SerendipityMetric)
-    if serendipity_metrics:
-        if interactions is None:
-            raise ValueError("For calculating serendipity metrics it's necessary to set 'interactions'")
-        if prev_interactions is None:
-            raise ValueError("For calculating serendipity metrics it's necessary to set 'prev_interactions'")
-        if catalog is None:
-            raise ValueError("For calculating serendipity metrics it's necessary to set 'catalog'")
-        results.update(
-            calc_serendipity_metrics(serendipity_metrics, reco, interactions, prev_interactions, catalog)
-        )
-
-    intersection_metrics = select_by_type(metrics, IntersectionMetric)
-    if intersection_metrics:
-        if ref_reco is None or (isinstance(ref_reco, dict) and not ref_reco):
-            raise ValueError("For calculating intersection metrics it's necessary to set 'ref_reco'")
-        intersection_values = calc_intersection_metrics(intersection_metrics, reco, ref_reco)
-        results.update(intersection_values)
-        expected_results_len += len(intersection_values) - len(intersection_metrics)
-
-    cross_dq_metrics = select_by_type(metrics, CrossDQMetric)
-    if cross_dq_metrics:
-        if interactions is None:
-            raise ValueError("For calculating some of the required DQ metrics it's necessary to set 'interactions'")
-        results.update(calc_cross_dq_metrics(cross_dq_metrics, reco, interactions))
-
-    reco_dq_metrics = select_by_type(metrics, RecoDQMetric)
-    if reco_dq_metrics:
-        results.update(calc_reco_dq_metrics(reco_dq_metrics, reco))
-
-    if len(results) < expected_results_len:
-        warnings.warn("Custom metrics are not supported.")
-
-    return {k: v.item() if hasattr(v, "item") else v for k, v in results.items()}
+    return {name: value.item() if hasattr(value, "item") else value for name, value in values.items()}

@@ -1,12 +1,13 @@
 """Split helpers.
 
-Behavioral parity with reference rectools/model_selection/utils.py:21-75.
+Behavioral parity target: reference rectools/model_selection/utils.py
+(``get_not_seen_mask``). The implementation here is key-encoding based
+rather than sparse-matrix based: each (user, item) pair is packed into a
+single uint64 and membership is one vectorized ``np.isin`` — the same
+flatten-the-pair trick the TPU seen-filter uses in ``ops/topk.py``.
 """
 
 import numpy as np
-from scipy import sparse
-
-from ..utils.array_ops import isin_2d_int
 
 
 def get_not_seen_mask(
@@ -15,26 +16,31 @@ def get_not_seen_mask(
     test_users: np.ndarray,
     test_items: np.ndarray,
 ) -> np.ndarray:
-    """Mask of test (user, item) pairs not present in train, via the sparse
-    elementwise-multiply trick (reference utils.py:21-75)."""
-    if train_users.size != train_items.size:
-        raise ValueError("Lengths of `train_users` and `train_items` must be the same")
-    if test_users.size != test_items.size:
-        raise ValueError("Lengths of `test_users` and `test_items` must be the same")
+    """Boolean mask over test interactions: True where the (user, item) pair
+    never occurs in train.
 
-    if train_users.size == 0:
-        return np.ones(test_users.size, dtype=bool)
-    if test_users.size == 0:
-        return np.array([], dtype=bool)
+    Pairs are compared by packing ``user * row_width + item`` into uint64,
+    which turns the 2-D membership test into a sorted 1-D ``np.isin``.
 
-    n_users = max(train_users.max(), test_users.max()) + 1
-    n_items = max(train_items.max(), test_items.max()) + 1
-    cls = sparse.csr_matrix if n_users < n_items else sparse.csc_matrix
+    >>> import numpy as np
+    >>> tr_u, tr_i = np.array([0, 0, 1]), np.array([10, 11, 10])
+    >>> te_u, te_i = np.array([0, 1, 2]), np.array([11, 12, 10])
+    >>> get_not_seen_mask(tr_u, tr_i, te_u, te_i)
+    array([False,  True,  True])
+    """
+    if len(train_users) != len(train_items):
+        raise ValueError("train_users and train_items carry different numbers of interactions")
+    if len(test_users) != len(test_items):
+        raise ValueError("test_users and test_items carry different numbers of interactions")
 
-    def make_matrix(users: np.ndarray, items: np.ndarray) -> sparse.spmatrix:
-        return cls((np.ones(len(users), dtype=bool), (users, items)), shape=(n_users, n_items))
+    if len(test_users) == 0:
+        return np.zeros(0, dtype=bool)
+    if len(train_users) == 0:
+        return np.ones(len(test_users), dtype=bool)
 
-    already_seen_coo = make_matrix(test_users, test_items).multiply(make_matrix(train_users, train_items)).tocoo()
-    already_seen_arr = np.vstack((already_seen_coo.row, already_seen_coo.col)).T.astype(test_users.dtype)
-    test_ui = np.vstack((test_users, test_items)).T
-    return ~isin_2d_int(test_ui, already_seen_arr)
+    # Internal ids are non-negative ints well below 2**32, so the packed key
+    # u * width + i cannot overflow uint64.
+    width = np.uint64(max(int(train_items.max()), int(test_items.max())) + 1)
+    train_keys = train_users.astype(np.uint64) * width + train_items.astype(np.uint64)
+    test_keys = test_users.astype(np.uint64) * width + test_items.astype(np.uint64)
+    return ~np.isin(test_keys, train_keys)

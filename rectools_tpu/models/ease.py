@@ -24,6 +24,7 @@ class EASEModelConfig(ModelConfig):
 
     regularization: float = 500.0
     mesh_shape: tp.Optional[tp.Tuple[int, int]] = None
+    solver: str = "auto"
 
 
 class EASEModel(ModelBase[EASEModelConfig]):
@@ -42,24 +43,32 @@ class EASEModel(ModelBase[EASEModelConfig]):
         self,
         regularization: float = 500.0,
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
+        solver: str = "auto",
         verbose: int = 0,
     ):
         super().__init__(verbose=verbose)
         self.weight: np.ndarray
         self.regularization = regularization
         self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
+        self.solver = solver
 
     def _get_config(self) -> EASEModelConfig:
         return EASEModelConfig(
             cls=self.__class__,
             regularization=self.regularization,
             mesh_shape=self.mesh_shape,
+            solver=self.solver,
             verbose=self.verbose,
         )
 
     @classmethod
     def _from_config(cls, config: EASEModelConfig) -> tpe.Self:
-        return cls(regularization=config.regularization, mesh_shape=config.mesh_shape, verbose=config.verbose)
+        return cls(
+            regularization=config.regularization,
+            mesh_shape=config.mesh_shape,
+            solver=config.solver,
+            verbose=config.verbose,
+        )
 
     def _fit(self, dataset: Dataset) -> None:
         ui_csr = dataset.get_user_item_matrix(include_weights=True)
@@ -68,7 +77,7 @@ class EASEModel(ModelBase[EASEModelConfig]):
             from ..parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=self.mesh_shape[0], n_model=self.mesh_shape[1])
-        self.weight = ease_weight(ui_csr, self.regularization, mesh=mesh)
+        self.weight = ease_weight(ui_csr, self.regularization, mesh=mesh, solver=self.solver)
 
     def _recommend_u2i(
         self,

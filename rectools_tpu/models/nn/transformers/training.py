@@ -578,6 +578,17 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 "negatives_sharing='batch' requires device-drawn negatives "
                 "(negatives_on_device=True with the default CatalogUniformSampler)"
             )
+        if self.negatives_sharing == "batch" and self._requires_negatives:
+            from .similarity import SimilarityModuleBase
+
+            sim = self.backbone.similarity_module
+            if type(sim).catalog_loss_towers is SimilarityModuleBase.catalog_loss_towers:
+                raise ValueError(
+                    "negatives_sharing='batch' computes its logits from "
+                    "similarity_module.catalog_loss_towers, which "
+                    f"{type(sim).__name__} does not override — use "
+                    "negatives_sharing='positionwise' or implement catalog_loss_towers"
+                )
         if (
             self._requires_negatives
             and self.negatives_sharing == "positionwise"

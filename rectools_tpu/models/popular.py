@@ -112,11 +112,17 @@ class PopularModelMixin:
         present = np.flatnonzero(counts)
         if popularity is Popularity.N_USERS or popularity is Popularity.N_INTERACTIONS:
             return present, counts[present].astype(np.float64)
-        weight_sums = np.bincount(item_ids, weights=interactions[Columns.Weight].to_numpy())
+        weights = interactions[Columns.Weight].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(weights)
+        # skip NaN weights in both the numerator and the mean denominator —
+        # pandas-groupby semantics (sum of an all-NaN group is 0.0, mean is NaN)
+        weight_sums = np.bincount(item_ids[valid], weights=weights[valid], minlength=len(counts))
         if popularity is Popularity.SUM_WEIGHT:
             return present, weight_sums[present]
         if popularity is Popularity.MEAN_WEIGHT:
-            return present, weight_sums[present] / counts[present]
+            valid_counts = np.bincount(item_ids[valid], minlength=len(counts))[present]
+            with np.errstate(invalid="ignore"):
+                return present, weight_sums[present] / valid_counts
         raise ValueError(f"Unexpected popularity {popularity}")
 
 

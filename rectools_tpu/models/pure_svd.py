@@ -31,6 +31,7 @@ class PureSVDModelConfig(ModelConfig):
     maxiter: tp.Optional[int] = None
     random_state: tp.Optional[int] = None
     mesh_shape: tp.Optional[tp.Tuple[int, int]] = None
+    solver: str = "auto"
 
 
 class PureSVDModel(VectorModel[PureSVDModelConfig]):
@@ -51,6 +52,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
         maxiter: tp.Optional[int] = None,
         random_state: tp.Optional[int] = None,
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
+        solver: str = "auto",
         verbose: int = 0,
     ):
         super().__init__(verbose=verbose)
@@ -59,6 +61,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
         self.maxiter = maxiter
         self.random_state = random_state
         self.mesh_shape = tuple(mesh_shape) if mesh_shape is not None else None
+        self.solver = solver
         self.user_factors: np.ndarray
         self.item_factors: np.ndarray
 
@@ -70,6 +73,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             maxiter=self.maxiter,
             random_state=self.random_state,
             mesh_shape=self.mesh_shape,
+            solver=self.solver,
             verbose=self.verbose,
         )
 
@@ -81,6 +85,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             maxiter=config.maxiter,
             random_state=config.random_state,
             mesh_shape=config.mesh_shape,
+            solver=config.solver,
             verbose=config.verbose,
         )
 
@@ -98,6 +103,7 @@ class PureSVDModel(VectorModel[PureSVDModelConfig]):
             tol=self.tol,
             maxiter=self.maxiter,
             random_state=self.random_state,
+            solver=self.solver,
         )
 
     def _get_users_factors(self, dataset: Dataset) -> Factors:

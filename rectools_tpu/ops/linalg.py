@@ -11,6 +11,7 @@ TPU-native replacements for the reference's LAPACK/ARPACK calls:
 
 import math
 import typing as tp
+import warnings
 from functools import partial
 
 import jax
@@ -22,6 +23,21 @@ from scipy import sparse
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Solver selection for the factorizations below. "auto" uses the direct XLA
+# factorization up to `_DIRECT_SOLVER_MAX_N` and the iterative MXU algorithms
+# beyond; "exact" forces the direct path at any size (exact LAPACK-equivalent
+# results, but TPU panel factorizations take minutes at n in the thousands);
+# "iterative" forces Newton-Schulz / subspace iteration at any size
+# (~1e-6..1e-7 relative residual; see `spd_inverse`/`topk_eigh`).
+SolverKind = tp.Any  # tpe.Literal["auto", "exact", "iterative"]
+_SOLVER_KINDS = ("auto", "exact", "iterative")
+
+
+def _check_solver(solver: str) -> str:
+    if solver not in _SOLVER_KINDS:
+        raise ValueError(f"solver must be one of {_SOLVER_KINDS}, got {solver!r}")
+    return solver
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -151,6 +167,13 @@ def _spd_inverse_newton(a: jax.Array, maxiter: int, tol: float, chunk: int = 8) 
         # res < 1e-3 guard keeps the slow EARLY plateau (residual ~= 1 for
         # the first ~25 iterations) from triggering it.
         if res < 1e-3 and res >= best * 0.5:
+            if res > tol:
+                warnings.warn(
+                    f"Newton-Schulz SPD inverse stalled at the f32 residual floor: "
+                    f"max|AX - I| = {res:.2e} after {done} iterations (requested tol {tol:.0e}). "
+                    f"Pass solver='exact' for the direct factorization if this matters.",
+                    RuntimeWarning,
+                )
             break
         best = min(best, res)
     return x
@@ -164,13 +187,19 @@ def _spd_inverse_cholesky(a: jax.Array) -> jax.Array:
     )
 
 
-def spd_inverse(a: jax.Array, maxiter: int = 200, tol: float = 1e-6) -> jax.Array:
+def spd_inverse(
+    a: jax.Array, maxiter: int = 200, tol: float = 1e-6, solver: SolverKind = "auto"
+) -> jax.Array:
     """Inverse of a symmetric positive-definite matrix on device.
 
-    Direct Cholesky solve up to `_DIRECT_SOLVER_MAX_N`; Newton–Schulz beyond
-    (TPU-native: all MXU matmuls, no sequential panel factorization).
+    ``solver="auto"``: direct Cholesky solve up to `_DIRECT_SOLVER_MAX_N`,
+    Newton–Schulz beyond (TPU-native: all MXU matmuls, no sequential panel
+    factorization). The iterative path targets max|AX - I| <= ``tol`` and
+    warns if it stalls at the f32 floor above it (typically ~3e-6 at
+    n~16k). Force a path with ``solver="exact"`` / ``solver="iterative"``.
     """
-    if a.shape[0] <= _DIRECT_SOLVER_MAX_N:
+    _check_solver(solver)
+    if solver == "exact" or (solver == "auto" and a.shape[0] <= _DIRECT_SOLVER_MAX_N):
         return _spd_inverse_cholesky(a)
     return _spd_inverse_newton(a, maxiter, float(tol))
 
@@ -182,13 +211,16 @@ def _ease_weight_from_inverse(p: jax.Array) -> jax.Array:
 
 
 def ease_weight(
-    ui_csr: sparse.csr_matrix, regularization: float, mesh: tp.Optional[Mesh] = None
+    ui_csr: sparse.csr_matrix,
+    regularization: float,
+    mesh: tp.Optional[Mesh] = None,
+    solver: SolverKind = "auto",
 ) -> np.ndarray:
     """EASE closed-form weights: W = G^-1 / (-diag(G^-1)), zero diagonal
     (same row/column normalization convention as reference ease.py:122-132)."""
     gram = gram_matrix(ui_csr, mesh=mesh)
     n = gram.shape[0]
-    p = spd_inverse(gram + jnp.float32(regularization) * jnp.eye(n, dtype=jnp.float32))
+    p = spd_inverse(gram + jnp.float32(regularization) * jnp.eye(n, dtype=jnp.float32), solver=solver)
     return np.asarray(_ease_weight_from_inverse(p))
 
 
@@ -259,13 +291,18 @@ def topk_eigh(
     tol: float = 0.0,
     maxiter: tp.Optional[int] = None,
     seed: int = 0,
+    solver: SolverKind = "auto",
 ) -> tp.Tuple[jax.Array, jax.Array]:
     """Leading eigenpairs of a PSD matrix: exact eigh for small matrices,
     randomized subspace iteration (MXU matmuls only) beyond
     `_DIRECT_SOLVER_MAX_N`. ``tol``/``maxiter`` mirror the reference's ARPACK
     knobs (pure_svd.py:158-164): tol 0 means "to numerical convergence"
-    (mapped to 1e-7 relative Rayleigh-quotient change)."""
-    if gram.shape[0] <= _DIRECT_SOLVER_MAX_N and maxiter is None:
+    (mapped to 1e-7 relative Rayleigh-quotient change). ``solver`` forces the
+    exact/iterative path regardless of size (see `SolverKind`)."""
+    _check_solver(solver)
+    if solver == "exact" or (
+        solver == "auto" and gram.shape[0] <= _DIRECT_SOLVER_MAX_N and maxiter is None
+    ):
         return _topk_eigh(gram, factors)
     tol_eff = 1e-7 if tol == 0 else float(tol)
     maxiter_eff = 300 if maxiter is None else int(maxiter)
@@ -283,6 +320,7 @@ def truncated_svd(
     tol: float = 0.0,
     maxiter: tp.Optional[int] = None,
     random_state: tp.Optional[int] = None,
+    solver: SolverKind = "auto",
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
     """Truncated SVD X ~= U diag(s) V^T via eigh of the item Gram.
 
@@ -294,7 +332,12 @@ def truncated_svd(
         raise ValueError("`factors` must be less than min(n_users, n_items)")
     gram = gram_matrix(ui_csr, block_rows, mesh=mesh)
     eigvals, v = topk_eigh(
-        gram, factors, tol=tol, maxiter=maxiter, seed=0 if random_state is None else int(random_state)
+        gram,
+        factors,
+        tol=tol,
+        maxiter=maxiter,
+        seed=0 if random_state is None else int(random_state),
+        solver=solver,
     )
     eigvals = np.asarray(eigvals)
     v = np.asarray(v)

@@ -1,42 +1,39 @@
-"""MetricsApp: plotly scatter of cross_validate metric trade-offs.
+"""MetricsApp: interactive metric-vs-metric scatter explorer for
+cross_validate results.
 
-Behavioral parity with reference rectools/visuals/metrics_app.py:35-378.
-plotly is an optional dependency: all data preparation and validation work
-without it; only `display()` / chart creation require it and raise an
-informative ImportError when missing.
+Behavioral parity target: reference rectools/visuals/metrics_app.py
+(``MetricsApp``). Data preparation and validation are dependency-free;
+plotly/ipywidgets are imported only by the rendering entry points and a
+missing install raises an informative ImportError there.
 """
 
 import typing as tp
-from functools import lru_cache
 
 import pandas as pd
 
 from ..columns import Columns
 
-WIDGET_WIDTH = 800
-WIDGET_HEIGHT = 600
-TOP_CHART_MARGIN = 20
-DEFAULT_LEGEND_TITLE = "model"
-META_MODEL_SEP = ", "
-META_MODEL_SEP_REPLACEMENT = " "
-NAN_COLOR = "grey"
+CHART_WIDTH = 800
+CHART_HEIGHT = 600
+CHART_TOP_MARGIN = 20
+MODEL_LEGEND = "model"
+# metadata values joined into trace names use ", " as the separator, so the
+# values themselves must not contain it
+_TRACE_NAME_SEP = ", "
 
 
-def _require_plotly() -> tp.Any:
+def _plotly() -> tp.Tuple[tp.Any, tp.Any]:
     try:
         import plotly.express as px
         import plotly.graph_objects as go
-
-        return px, go
     except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "Requirement `plotly` is not satisfied. Install plotly to display MetricsApp charts."
-        ) from e
+        raise ImportError("MetricsApp rendering needs the optional `plotly` package") from e
+    return px, go
 
 
 class MetricsApp:
-    """Interactive metric-to-metric trade-off explorer over cross_validate
-    results. Use `MetricsApp.construct`."""
+    """Explore cross-validation metric trade-offs as a 2-D scatter with
+    widget-driven axis/fold/metadata selection. Build via ``construct``."""
 
     def __init__(
         self,
@@ -52,9 +49,11 @@ class MetricsApp:
         self.meta_names = meta_names
         self.show_legend = show_legend
         self.auto_display = auto_display
-        self.scatter_kwargs = scatter_kwargs if scatter_kwargs is not None else {}
+        self.scatter_kwargs = dict(scatter_kwargs or {})
         self.fig: tp.Any = None
-        if self.auto_display:
+        self._fold_frames: tp.Dict[int, pd.DataFrame] = {}
+        self._avg_frame: tp.Optional[pd.DataFrame] = None
+        if auto_display:
             self.display()
 
     @classmethod
@@ -66,179 +65,176 @@ class MetricsApp:
         auto_display: bool = True,
         scatter_kwargs: tp.Optional[tp.Dict[str, tp.Any]] = None,
     ) -> "MetricsApp":
-        """Build the app from cross_validate-style metric rows (+ optional
-        model metadata for alternative coloring)."""
+        """Validate the metric rows (one per model or per model×fold), attach
+        optional per-model metadata, and build the app."""
         cls._validate_models_metrics_base(models_metrics)
         cls._validate_models_metrics_split(models_metrics)
+
+        special = (Columns.Model, Columns.Split)
+        metric_names = [c for c in models_metrics.columns if c not in special]
+
         if models_metadata is None:
-            models_metadata = models_metrics[Columns.Model].drop_duplicates().to_frame()
-        cls._validate_models_metadata(models_metadata)
+            meta_names: tp.List[str] = []
+            data = models_metrics
+        else:
+            cls._validate_models_metadata(models_metadata)
+            meta_names = [c for c in models_metadata.columns if c != Columns.Model]
+            data = models_metrics.merge(models_metadata, on=Columns.Model, how="left")
+        # trace names are "<meta>, <model>": scrub the separator out of values
+        data = data.replace(_TRACE_NAME_SEP, " ", regex=True)
 
-        merged_data = models_metrics.merge(models_metadata, on=Columns.Model, how="left")
-        merged_data = merged_data.replace(META_MODEL_SEP, META_MODEL_SEP_REPLACEMENT, regex=True)
+        return cls(data, metric_names, meta_names, show_legend, auto_display, scatter_kwargs)
 
-        metric_names = [col for col in models_metrics.columns if col not in {Columns.Split, Columns.Model}]
-        meta_names = [col for col in models_metadata.columns if col != Columns.Model]
-        return cls(merged_data, metric_names, meta_names, show_legend, auto_display, scatter_kwargs)
+    # ------------------------------------------------------------- properties
 
     @property
     def model_names(self) -> tp.List[str]:
-        """Sorted model names."""
+        """Model names, sorted."""
         return sorted(self.data[Columns.Model].unique())
 
     @property
     def fold_ids(self) -> tp.Optional[tp.List[int]]:
-        """Sorted fold identifiers (None if no split column)."""
-        if Columns.Split in self.data.columns:
-            return sorted(self.data[Columns.Split].unique())
-        return None
+        """Fold ids, sorted; None when the data has no split column."""
+        if Columns.Split not in self.data.columns:
+            return None
+        return sorted(self.data[Columns.Split].unique())
 
     # ---------------------------------------------------------------- validate
 
     @staticmethod
     def _validate_models_metrics_base(models_metrics: pd.DataFrame) -> None:
-        metric_columns = list(set(models_metrics.columns) - {Columns.Model, Columns.Split})
-        if Columns.Model not in models_metrics.columns:
-            raise KeyError("Missing `Model` column in `metrics_data` DataFrame")
+        columns = models_metrics.columns
+        if Columns.Model not in columns:
+            raise KeyError(f"metrics frame has no {Columns.Model!r} column; columns: {list(columns)}")
+        metric_columns = [c for c in columns if c not in (Columns.Model, Columns.Split)]
         if not metric_columns:
-            raise KeyError("`metrics_data` DataFrame assumed to have at least one metric column")
-        if models_metrics[Columns.Model].isnull().any():
-            raise ValueError("Found NaN values in `Model` column of `metrics_data`")
-        if Columns.Split in models_metrics.columns and models_metrics[Columns.Split].isnull().any():
-            raise ValueError("Found NaN values in `Split` column of `metrics_data`")
-        if Columns.Split not in models_metrics.columns and models_metrics[Columns.Model].nunique() != len(
-            models_metrics
-        ):
-            raise ValueError("Each `Model` value in the `metrics_data` DataFrame must be unique")
-        if len(models_metrics[metric_columns].select_dtypes(include="number").columns) != len(metric_columns):
-            raise ValueError("All metrics columns should be numeric")
+            raise KeyError("metrics frame carries no metric columns (only model/split)")
+        if models_metrics[Columns.Model].isna().any():
+            raise ValueError("metrics frame: model column contains missing values")
+        has_splits = Columns.Split in columns
+        if has_splits and models_metrics[Columns.Split].isna().any():
+            raise ValueError("metrics frame: split column contains missing values")
+        if not has_splits and models_metrics[Columns.Model].duplicated().any():
+            raise ValueError("metrics frame without a split column must have one row per model")
+        non_numeric = [c for c in metric_columns if not pd.api.types.is_numeric_dtype(models_metrics[c])]
+        if non_numeric:
+            raise ValueError(f"metric columns must be numeric; offending columns: {non_numeric}")
 
     @staticmethod
     def _validate_models_metrics_split(models_metrics: pd.DataFrame) -> None:
         if Columns.Split not in models_metrics.columns:
             return
-        splits = models_metrics.groupby(Columns.Model)[Columns.Split].apply(frozenset)
-        if len(set(splits)) > 1:
-            raise ValueError(f"All models must have the same splits. But now they are different: {set(splits)}")
-        if models_metrics.duplicated(subset=[Columns.Model, Columns.Split], keep=False).any():
-            raise ValueError("Each pair of `Model` and `Split` values in the `metrics_data` DataFrame must be unique")
+        if models_metrics.duplicated(subset=[Columns.Model, Columns.Split]).any():
+            raise ValueError("metrics frame has repeated (model, split) rows")
+        per_model_splits = models_metrics.groupby(Columns.Model)[Columns.Split].agg(frozenset)
+        if per_model_splits.nunique() > 1:
+            raise ValueError(
+                f"every model must be scored on the same folds; saw fold sets {set(per_model_splits)}"
+            )
 
     @staticmethod
     def _validate_models_metadata(models_metadata: pd.DataFrame) -> None:
         if Columns.Model not in models_metadata.columns:
-            raise KeyError("Missing `Model` column in `models_metadata` DataFrame")
-        if models_metadata[Columns.Model].isnull().any():
-            raise ValueError("Found NaN values in `Model` column")
-        if models_metadata[Columns.Model].nunique() != len(models_metadata):
-            raise ValueError("`Model` values of `models_metadata` should be unique`")
+            raise KeyError(f"metadata frame has no {Columns.Model!r} column")
+        if models_metadata[Columns.Model].isna().any():
+            raise ValueError("metadata frame: model column contains missing values")
+        if models_metadata[Columns.Model].duplicated().any():
+            raise ValueError("metadata frame must have one row per model")
 
     # -------------------------------------------------------------- chart data
 
-    @lru_cache
     def _make_chart_data_fold(self, fold_number: int) -> pd.DataFrame:
-        return self.data[self.data[Columns.Split] == fold_number].reset_index(drop=True)
+        """Rows of one fold (memoized)."""
+        if fold_number not in self._fold_frames:
+            picked = self.data[self.data[Columns.Split] == fold_number]
+            self._fold_frames[fold_number] = picked.reset_index(drop=True)
+        return self._fold_frames[fold_number]
 
-    @lru_cache
     def _make_chart_data_avg(self) -> pd.DataFrame:
-        avg_data = self.data.groupby(Columns.Model).agg(
-            {
-                **{metric: "mean" for metric in self.metric_names},
-                **{meta: "first" for meta in self.meta_names},
-            }
+        """One row per model: metrics averaged over folds, metadata carried
+        through (memoized)."""
+        if self._avg_frame is None:
+            plan = {name: "mean" for name in self.metric_names}
+            plan.update({name: "first" for name in self.meta_names})
+            self._avg_frame = self.data.groupby(Columns.Model).agg(plan).reset_index()
+        return self._avg_frame
+
+    # ------------------------------------------------------------------ render
+
+    def _scatter(self, frame: pd.DataFrame, x: str, y: str, color_by: str, legend_title: str) -> tp.Any:
+        """One plotly scatter; points colored by ``color_by`` and symbolled by
+        model so model identity survives metadata coloring."""  # pragma: no cover
+        px, _ = _plotly()
+        options: tp.Dict[str, tp.Any] = {"width": CHART_WIDTH, "height": CHART_HEIGHT, **self.scatter_kwargs}
+        frame = frame.sort_values(color_by).assign(**{color_by: frame[color_by].astype(str)})
+        fig = px.scatter(frame, x=x, y=y, color=color_by, symbol=Columns.Model, **options)
+        if color_by != Columns.Model:
+            for trace, meta_value, model in zip(fig.data, frame[color_by], frame[Columns.Model]):
+                trace.name = f"{meta_value}{_TRACE_NAME_SEP}{model}"
+        fig.update_layout(
+            margin={"t": CHART_TOP_MARGIN}, legend_title=legend_title, showlegend=self.show_legend
         )
-        return avg_data.reset_index()
-
-    @staticmethod
-    def _split_to_meta_and_model(raw_string: str, sep: str = META_MODEL_SEP) -> tp.Tuple[str, str]:
-        splitted = raw_string.split(sep, 1)
-        if len(splitted) > 1:
-            return splitted[0], splitted[1]
-        return "", raw_string
-
-    def _create_chart_figure(
-        self, data: pd.DataFrame, x_col: str, y_col: str, color_col: str, legend_title: str
-    ) -> tp.Any:  # pragma: no cover - needs plotly
-        px, _ = _require_plotly()
-        scatter_kwargs = {"width": WIDGET_WIDTH, "height": WIDGET_HEIGHT}
-        scatter_kwargs.update(self.scatter_kwargs)
-        data = data.sort_values(by=color_col, ascending=True)
-        data[color_col] = data[color_col].astype(str)
-        fig = px.scatter(data, x=x_col, y=y_col, color=color_col, symbol=Columns.Model, **scatter_kwargs)
-        if color_col != Columns.Model:
-            for trace, meta_value, model_name in zip(fig.data, data[color_col], data[Columns.Model]):
-                trace.name = f"{meta_value}{META_MODEL_SEP}{model_name}"
-        fig.update_layout(margin={"t": TOP_CHART_MARGIN}, legend_title=legend_title, showlegend=self.show_legend)
         fig.update_coloraxes(showscale=False)
         return fig
 
     def display(self) -> None:  # pragma: no cover - interactive widget
-        """Render the plotly FigureWidget + selection widgets."""
+        """Render the widget panel + live figure in a notebook."""
         import ipywidgets as widgets
-        from IPython.display import display
+        from IPython.display import display as ipy_display
 
-        _, go = _require_plotly()
+        _, go = _plotly()
 
-        metric_x = widgets.Dropdown(description="Metric X:", value=self.metric_names[0], options=self.metric_names)
-        metric_y = widgets.Dropdown(
-            description="Metric Y:",
-            value=self.metric_names[min(1, len(self.metric_names) - 1)],
-            options=self.metric_names,
-        )
-        use_avg = widgets.Checkbox(description="Average folds", value=True)
-        fold_i = widgets.Dropdown(
+        second_metric = self.metric_names[1] if len(self.metric_names) > 1 else self.metric_names[0]
+        pick_x = widgets.Dropdown(description="Metric X:", options=self.metric_names, value=self.metric_names[0])
+        pick_y = widgets.Dropdown(description="Metric Y:", options=self.metric_names, value=second_metric)
+        avg_folds = widgets.Checkbox(description="Average folds", value=True)
+        pick_fold = widgets.Dropdown(
             description="Fold number:",
-            value=self.fold_ids[0] if self.fold_ids is not None else None,
-            options=self.fold_ids if self.fold_ids is not None else [],
+            options=self.fold_ids or [],
+            value=self.fold_ids[0] if self.fold_ids else None,
         )
-        use_meta = widgets.Checkbox(description="Use metadata", value=False)
-        meta_feature = widgets.Dropdown(
+        color_by_meta = widgets.Checkbox(description="Use metadata", value=False)
+        pick_meta = widgets.Dropdown(
             description="Color by:",
-            value=self.meta_names[0] if self.meta_names else None,
             options=self.meta_names,
+            value=self.meta_names[0] if self.meta_names else None,
         )
 
-        def chart_data_now() -> pd.DataFrame:
-            if use_avg.value or fold_i.value is None:
+        def current_frame() -> pd.DataFrame:
+            if avg_folds.value or pick_fold.value is None:
                 return self._make_chart_data_avg()
-            return self._make_chart_data_fold(fold_i.value)
+            return self._make_chart_data_fold(pick_fold.value)
 
-        legend_title = DEFAULT_LEGEND_TITLE
-        self.fig = self._create_chart_figure(chart_data_now(), metric_x.value, metric_y.value, Columns.Model, legend_title)
-        fig_widget = go.FigureWidget(data=self.fig.data, layout=self.fig.layout)
+        self.fig = self._scatter(current_frame(), pick_x.value, pick_y.value, Columns.Model, MODEL_LEGEND)
+        live = go.FigureWidget(data=self.fig.data, layout=self.fig.layout)
 
-        def update(event: tp.Any) -> None:
-            color_col = meta_feature.value if use_meta.value else Columns.Model
-            title = (
-                f"{meta_feature.value}{META_MODEL_SEP}{DEFAULT_LEGEND_TITLE}"
-                if use_meta.value
-                else DEFAULT_LEGEND_TITLE
-            )
-            self.fig = self._create_chart_figure(chart_data_now(), metric_x.value, metric_y.value, color_col, title)
-            with fig_widget.batch_update():
-                for idx, trace in enumerate(self.fig.data):
-                    if idx < len(fig_widget.data):
-                        fig_widget.data[idx].x = trace.x
-                        fig_widget.data[idx].y = trace.y
-                        fig_widget.data[idx].name = trace.name
-                fig_widget.layout = self.fig.layout
-            fold_i.layout.visibility = "hidden" if use_avg.value else "visible"
-            meta_feature.layout.visibility = "hidden" if not use_meta.value else "visible"
+        def refresh(_event: tp.Any) -> None:
+            if color_by_meta.value and pick_meta.value is not None:
+                color_by = pick_meta.value
+                legend = f"{pick_meta.value}{_TRACE_NAME_SEP}{MODEL_LEGEND}"
+            else:
+                color_by, legend = Columns.Model, MODEL_LEGEND
+            self.fig = self._scatter(current_frame(), pick_x.value, pick_y.value, color_by, legend)
+            with live.batch_update():
+                for shown, fresh in zip(live.data, self.fig.data):
+                    shown.x, shown.y, shown.name = fresh.x, fresh.y, fresh.name
+                live.layout = self.fig.layout
+            pick_fold.layout.visibility = "hidden" if avg_folds.value else "visible"
+            pick_meta.layout.visibility = "visible" if color_by_meta.value else "hidden"
 
-        for widget in (metric_x, metric_y, use_avg, fold_i, use_meta, meta_feature):
-            widget.observe(update, "value")
+        controls = [pick_x, pick_y, avg_folds, pick_fold, color_by_meta, pick_meta]
+        for control in controls:
+            control.observe(refresh, "value")
 
-        tab = widgets.Tab()
-        metrics_vbox = widgets.VBox([widgets.HBox([metric_x, metric_y])])
-        if self.fold_ids:
-            metrics_vbox = widgets.VBox([widgets.HBox([use_avg, fold_i]), widgets.HBox([metric_x, metric_y])])
+        axis_row = widgets.HBox([pick_x, pick_y])
+        fold_rows = [widgets.HBox([avg_folds, pick_fold])] if self.fold_ids else []
+        panels = widgets.Tab()
+        panel_children = [widgets.VBox([*fold_rows, axis_row])]
+        panels.set_title(0, "Metrics")
         if self.meta_names:
-            metadata_vbox = widgets.VBox([widgets.HBox([use_meta, meta_feature])])
-            tab.children = [metrics_vbox, metadata_vbox]
-            tab.set_title(0, "Metrics")
-            tab.set_title(1, "Metadata")
-        else:
-            tab.children = [metrics_vbox]
-            tab.set_title(0, "Metrics")
+            panel_children.append(widgets.VBox([widgets.HBox([color_by_meta, pick_meta])]))
+            panels.set_title(1, "Metadata")
+        panels.children = panel_children
 
-        display(widgets.VBox([tab, fig_widget]))
-        update(None)
+        ipy_display(widgets.VBox([panels, live]))
+        refresh(None)

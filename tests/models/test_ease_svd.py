@@ -155,3 +155,31 @@ class TestShardedGram:
     def test_config_round_trip_keeps_mesh_shape(self):
         assert EASEModel.from_config(EASEModel(mesh_shape=(4, 2)).get_config()).mesh_shape == (4, 2)
         assert PureSVDModel.from_config(PureSVDModel(mesh_shape=(2, 4)).get_config()).mesh_shape == (2, 4)
+
+
+class TestSolverOverride:
+    """ADVICE r2: solver='exact'|'iterative' must be selectable at any size."""
+
+    def test_ease_exact_and_iterative_agree_on_small_catalog(self):
+        exact = EASEModel(regularization=100.0, solver="exact").fit(DATASET)
+        iterative = EASEModel(regularization=100.0, solver="iterative").fit(DATASET)
+        auto = EASEModel(regularization=100.0).fit(DATASET)
+        np.testing.assert_allclose(exact.weight, auto.weight, atol=1e-6)
+        np.testing.assert_allclose(iterative.weight, exact.weight, rtol=1e-3, atol=1e-4)
+
+    def test_pure_svd_exact_and_iterative_agree(self):
+        exact = PureSVDModel(factors=3, solver="exact").fit(DATASET)
+        iterative = PureSVDModel(factors=3, solver="iterative").fit(DATASET)
+        recon_exact = exact.user_factors @ exact.item_factors.T
+        recon_iter = iterative.user_factors @ iterative.item_factors.T
+        np.testing.assert_allclose(recon_iter, recon_exact, atol=1e-3)
+
+    def test_solver_round_trips_through_config(self):
+        model = EASEModel(solver="exact")
+        assert EASEModel.from_config(model.get_config()).solver == "exact"
+        svd = PureSVDModel(solver="iterative")
+        assert PureSVDModel.from_config(svd.get_config()).solver == "iterative"
+
+    def test_bad_solver_raises(self):
+        with pytest.raises(ValueError):
+            EASEModel(solver="nonsense").fit(DATASET)

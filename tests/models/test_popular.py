@@ -63,6 +63,26 @@ class TestPopularModel:
         model = PopularModel(popularity="mean_weight").fit(DATASET)
         assert model.popularity_list[1].max() == 1.0
 
+    @pytest.mark.parametrize("popularity", ["mean_weight", "sum_weight"])
+    def test_nan_weights_are_skipped_like_pandas(self, popularity):
+        from rectools_tpu.dataset import Dataset
+
+        from .data import INTERACTIONS
+
+        df = INTERACTIONS.copy()
+        df[Columns.Weight] = df[Columns.Weight].astype(float)
+        # poison one of item 11's four interactions with a NaN weight
+        poison_row = df.index[df[Columns.Item] == 11][0]
+        df.loc[poison_row, Columns.Weight] = np.nan
+        dataset = Dataset.construct(df)
+        model = PopularModel(popularity=popularity).fit(dataset)
+        items, scores = model.popularity_list
+        ext = dataset.item_id_map.convert_to_external(items)
+        score_11 = scores[list(ext).index(11)]
+        assert np.isfinite(score_11)
+        # pandas-groupby semantics: NaN rows drop out of both sum and mean
+        assert score_11 == (3.0 if popularity == "sum_weight" else 1.0)
+
     def test_period(self):
         model = PopularModel(period=timedelta(days=2)).fit(DATASET)
         items = DATASET.item_id_map.convert_to_external(model.popularity_list[0])
