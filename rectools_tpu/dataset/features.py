@@ -136,13 +136,17 @@ class SparseFeatures:
         names: tp.List[SparseFeatureName] = []
 
         if len(direct_df) > 0:
-            csr, direct_names = cls._make_direct_features(direct_df, id_map.size, id_col, feature_col, value_col, weight_col)
+            csr, direct_names = cls._make_direct_features(
+                direct_df, id_map.size, id_col, feature_col, value_col, weight_col
+            )
             matrices.append(csr)
             names.extend(direct_names)
         if len(cat_df) > 0:
             for feature_name in pd.unique(cat_df[feature_col].to_numpy()):
                 feature_rows = cat_df[cat_df[feature_col] == feature_name]
-                csr, cat_names = cls._make_cat_feature(feature_rows, feature_name, id_map.size, id_col, value_col, weight_col)
+                csr, cat_names = cls._make_cat_feature(
+                    feature_rows, feature_name, id_map.size, id_col, value_col, weight_col
+                )
                 matrices.append(csr)
                 names.extend(cat_names)
 

@@ -12,7 +12,6 @@ import numpy as np
 import pandas as pd
 
 from ..types import AnySequence, ExternalIds, InternalIds
-from ..utils.indexing import get_from_series_by_index
 
 
 @attr.s(slots=True, frozen=True)

@@ -91,7 +91,9 @@ def outer_merge_reco(reco: pd.DataFrame, interactions: pd.DataFrame) -> pd.DataF
     scaffold = pd.DataFrame(
         {
             Columns.User: np.repeat(per_user_max.index.to_numpy(), counts),
-            Columns.Rank: np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], np.int64),
+            Columns.Rank: (
+                np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], np.int64)
+            ),
         }
     )
     ranked = merged.merge(scaffold, on=[Columns.User, Columns.Rank], how="outer")

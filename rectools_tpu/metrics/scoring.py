@@ -96,7 +96,8 @@ _FAMILIES: tp.Tuple[tp.Tuple[str, tp.Any, tp.Tuple[str, ...], tp.Any], ...] = (
         ("ref_reco",),
         lambda sel, inp: calc_intersection_metrics(sel, inp.reco, inp.ref_reco),
     ),
-    ("cross-DQ", CrossDQMetric, ("interactions",), lambda sel, inp: calc_cross_dq_metrics(sel, inp.reco, inp.interactions)),
+    ("cross-DQ", CrossDQMetric, ("interactions",),
+     lambda sel, inp: calc_cross_dq_metrics(sel, inp.reco, inp.interactions)),
     ("reco-DQ", RecoDQMetric, (), lambda sel, inp: calc_reco_dq_metrics(sel, inp.reco)),
 )
 

@@ -6,7 +6,6 @@ Behavioral parity with reference rectools/model_selection/last_n_split.py:27-160
 import typing as tp
 
 import numpy as np
-import pandas as pd
 
 from ..columns import Columns
 from ..dataset import Interactions

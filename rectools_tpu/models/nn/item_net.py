@@ -71,7 +71,9 @@ class IdEmbeddingsItemNet(ItemNetBase):
         return emb.at[0].set(0.0)
 
     @classmethod
-    def from_dataset(cls, dataset: Dataset, n_factors: int, dropout_rate: float, **kwargs: tp.Any) -> "IdEmbeddingsItemNet":
+    def from_dataset(
+        cls, dataset: Dataset, n_factors: int, dropout_rate: float, **kwargs: tp.Any
+    ) -> "IdEmbeddingsItemNet":
         return cls(n_items=dataset.item_id_map.size, n_factors=n_factors, dropout_rate=dropout_rate)
 
     @classmethod

@@ -17,13 +17,18 @@ import pandas as pd
 import typing_extensions as tpe
 from pydantic import BeforeValidator, PlainSerializer
 
-from ....columns import Columns
 from ....dataset.dataset import Dataset, DatasetSchema, DatasetSchemaDict
 from ....types import ExternalIds
 from ....utils.misc import get_class_or_function_full_path, import_object, make_dict_flat, unflatten_dict
 from ....utils.serialization import FileLike, read_bytes
 from ...base import ErrorBehaviour, InternalRecoTriplet, ModelBase, ModelConfig
-from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
+from ..item_net import (
+    CatFeaturesItemNet,
+    IdEmbeddingsItemNet,
+    ItemNetBase,
+    ItemNetConstructorBase,
+    SumOfEmbeddingsConstructor,
+)
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .data_preparator import Batch, InitKwargs, TransformerDataPreparatorBase
 from .losses import requires_negatives
@@ -35,7 +40,7 @@ from .net_blocks import (
     TransformerLayersBase,
 )
 from .similarity import DistanceSimilarityModule, SimilarityModuleBase
-from .training import TransformerTrainingModule, TransformerTrainingModuleBase, pad_batch
+from .training import TransformerTrainingModule, TransformerTrainingModuleBase
 
 # ---------------------------------------------------------------- config types
 
@@ -368,7 +373,9 @@ class TransformerModelBase(ModelBase[TransformerModelConfig_T]):
             max_epochs=self.epochs,
         )
 
-    def _fit_partial(self, dataset: Dataset, min_epochs: tp.Optional[int] = None, max_epochs: tp.Optional[int] = None) -> None:
+    def _fit_partial(
+        self, dataset: Dataset, min_epochs: tp.Optional[int] = None, max_epochs: tp.Optional[int] = None
+    ) -> None:
         """Continue training for `max_epochs` additional epochs
         (reference transformers/base.py:505-533)."""
         if max_epochs is None:

@@ -10,7 +10,13 @@ from collections.abc import Hashable
 
 import numpy as np
 
-from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
+from ..item_net import (
+    CatFeaturesItemNet,
+    IdEmbeddingsItemNet,
+    ItemNetBase,
+    ItemNetConstructorBase,
+    SumOfEmbeddingsConstructor,
+)
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import (
     InitKwargs,

@@ -415,7 +415,9 @@ class TransformerDataPreparatorBase:
     # (B, L, n_negatives) host array entirely.
     host_negatives: bool = True
 
-    def _sample_negatives(self, batch: Batch, rng: tp.Optional[np.random.Generator], session_len_limit: tp.Optional[int] = None) -> None:
+    def _sample_negatives(
+        self, batch: Batch, rng: tp.Optional[np.random.Generator], session_len_limit: tp.Optional[int] = None
+    ) -> None:
         if self.negative_sampler is not None and self.host_negatives:
             if rng is None:  # pragma: no cover
                 raise ValueError("negative sampling requires rng")

@@ -10,14 +10,19 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..dropout import HashDropout
 from ..norm import FusedLayerNorm
 
 from ....ops.stu_attention import stu_dot_product_attention
-from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
+from ..item_net import (
+    CatFeaturesItemNet,
+    IdEmbeddingsItemNet,
+    ItemNetBase,
+    ItemNetConstructorBase,
+    SumOfEmbeddingsConstructor,
+)
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import (
     InitKwargs,

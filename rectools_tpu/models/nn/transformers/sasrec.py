@@ -15,7 +15,13 @@ from ..norm import FusedLayerNorm
 
 from .... import native as _native
 
-from ..item_net import CatFeaturesItemNet, IdEmbeddingsItemNet, ItemNetBase, ItemNetConstructorBase, SumOfEmbeddingsConstructor
+from ..item_net import (
+    CatFeaturesItemNet,
+    IdEmbeddingsItemNet,
+    ItemNetBase,
+    ItemNetConstructorBase,
+    SumOfEmbeddingsConstructor,
+)
 from .backbone import TransformerBackbone, TransformerBackboneBase
 from .base import (
     InitKwargs,

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from scipy import sparse
 
 from ...base import InternalRecoTriplet
 from ...rank import Distance, TPURanker
@@ -775,8 +774,12 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         loaded_params = state["params"]
         # device_put onto the reference leaf's sharding so restored state keeps
         # the mesh layout established by init_params
-        self.params = jax.tree.map(lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.params, loaded_params)
-        self.opt_state = jax.tree.map(lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.opt_state, state["opt_state"])
+        self.params = jax.tree.map(
+            lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.params, loaded_params
+        )
+        self.opt_state = jax.tree.map(
+            lambda ref, val: jax.device_put(jnp.asarray(val), ref.sharding), self.opt_state, state["opt_state"]
+        )
         self.epochs_completed = state["epochs_completed"]
         self.global_step = state["global_step"]
         self.train_loss_history = list(state["train_loss_history"])

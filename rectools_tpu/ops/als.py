@@ -16,7 +16,6 @@ lists are bucketed by length (subjects processed in degree order) so jit
 specializations stay few and padding waste stays low.
 """
 
-import math
 import typing as tp
 from functools import partial
 

@@ -42,14 +42,18 @@ def pad_feature_table(csr: sparse.csr_matrix) -> tp.Tuple[np.ndarray, np.ndarray
     return idx, val
 
 
-def _repr_of(emb: jnp.ndarray, bias: jnp.ndarray, feat_idx: jnp.ndarray, feat_val: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+def _repr_of(
+    emb: jnp.ndarray, bias: jnp.ndarray, feat_idx: jnp.ndarray, feat_val: jnp.ndarray
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
     """Feature-summed representation: (..., P) indices -> (..., d) embedding + scalar bias."""
     vecs = emb[feat_idx] * feat_val[..., None]  # (..., P, d)
     b = bias[feat_idx] * feat_val  # (..., P)
     return vecs.sum(axis=-2), b.sum(axis=-1)
 
 
-def make_optimizer(learning_schedule: str, learning_rate: float, rho: float, epsilon: float) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_schedule: str, learning_rate: float, rho: float, epsilon: float
+) -> optax.GradientTransformation:
     """LightFM's learning schedules: adagrad (default) or adadelta."""
     if learning_schedule == "adagrad":
         # accumulator starts at ~0 like LightFM's (optax's 0.1 default damps

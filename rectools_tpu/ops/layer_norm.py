@@ -15,12 +15,10 @@ for the transformer stacks is pinned by tests/parity against the reference's
 own torch layers (rectools/models/nn/transformers/net_blocks.py:119-130).
 """
 
-import typing as tp
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 DEFAULT_BLOCK_M = 1024

@@ -9,7 +9,6 @@ TPU-native replacements for the reference's LAPACK/ARPACK calls:
   densified at once.
 """
 
-import math
 import typing as tp
 import warnings
 from functools import partial

@@ -473,7 +473,9 @@ def stu_attention(
     )
 
 
-def _stu_fwd(q, k, v, ts, timeline, allowed, time_weights, pos_weights, num_buckets, use_time, use_pos, block_q, interpret):
+def _stu_fwd(
+    q, k, v, ts, timeline, allowed, time_weights, pos_weights, num_buckets, use_time, use_pos, block_q, interpret
+):
     out = _stu_pallas(
         q, k, v, ts, timeline, time_weights, pos_weights, allowed,
         num_buckets, use_time, use_pos, block_q, interpret,

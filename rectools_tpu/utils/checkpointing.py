@@ -10,7 +10,6 @@ import json
 import typing as tp
 from pathlib import Path
 
-import jax
 import numpy as np
 
 try:  # pragma: no cover - import guard

@@ -5,7 +5,6 @@ import typing as tp
 import numpy as np
 import pandas as pd
 
-from .array_ops import fast_isin
 
 AnySequence = tp.Union[tp.Sequence[tp.Any], np.ndarray]
 

@@ -1,6 +1,5 @@
 """Serialization helpers (reference: rectools/utils/serialization.py:27-51)."""
 
-import pickle
 import typing as tp
 
 import numpy as np
