@@ -78,9 +78,13 @@ collect_ignore_glob = ["implicit_stub/*"]
 
 
 def pytest_collection_modifyitems(config, items):
-    if _REFERENCE_OK:
-        return
+    # Live-reference head-to-head is a separable job: deselect with
+    # `-m "not live_reference"`. The frozen-fixture suite (tests/frozen/)
+    # carries the same coverage without importing the reference.
+    live_marker = pytest.mark.live_reference
     skip = pytest.mark.skip(reason=f"reference rectools not importable: {_REFERENCE_ERR}")
     for item in items:
         if "tests/parity" in str(item.fspath).replace("\\", "/"):
-            item.add_marker(skip)
+            item.add_marker(live_marker)
+            if not _REFERENCE_OK:
+                item.add_marker(skip)
