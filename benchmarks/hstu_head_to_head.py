@@ -100,12 +100,12 @@ def _context(train: pd.DataFrame) -> pd.DataFrame:
 # ------------------------------------------------------------ reference side
 
 
-def train_reference(model, ref_dataset, epochs: int) -> list:
+def train_reference(model, ref_dataset, epochs: int, seed: int = 32) -> list:
     """Manual replication of the reference lightning fit loop."""
     import torch
 
-    torch.manual_seed(32)
-    np.random.seed(32)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
     model._build_model_from_dataset(ref_dataset)  # pylint: disable=protected-access
     lm = model.lightning_model
     lm.train()
@@ -130,22 +130,38 @@ def train_reference(model, ref_dataset, epochs: int) -> list:
     return losses
 
 
-def run_reference(train: pd.DataFrame, test: pd.DataFrame, epochs: int, hyper: dict) -> dict:
+def run_reference(
+    train: pd.DataFrame,
+    test: pd.DataFrame,
+    epochs: int,
+    hyper: dict,
+    models: tuple = ("hstu", "sasrec"),
+    seed: int = 32,
+    context_df: "pd.DataFrame" = None,
+) -> dict:
     _import_reference()
     from rectools.dataset import Dataset as RefDataset
+    from rectools.models.nn.transformers.bert4rec import BERT4RecModel as RefBERT4Rec
     from rectools.models.nn.transformers.hstu import HSTUModel as RefHSTU
+    from rectools.models.nn.transformers.ligr import LiGRLayers as RefLiGRLayers
     from rectools.models.nn.transformers.sasrec import SASRecModel as RefSASRec
 
+    factories = {
+        "hstu": lambda **kw: RefHSTU(**kw),
+        "sasrec": lambda **kw: RefSASRec(**kw),
+        "bert4rec": lambda **kw: RefBERT4Rec(**kw),
+        "esasrec": lambda **kw: RefSASRec(transformer_layers_type=RefLiGRLayers, **kw),
+    }
     ds = RefDataset.construct(train)
     users = test["user_id"].unique()
     out = {}
-    for name, cls in [("hstu", RefHSTU), ("sasrec", RefSASRec)]:
+    for name in models:
         t = time.time()
-        model = cls(get_trainer_func=lambda: None, epochs=epochs, **hyper)
-        losses = train_reference(model, ds, epochs)
+        model = factories[name](get_trainer_func=lambda: None, epochs=epochs, **hyper)
+        losses = train_reference(model, ds, epochs, seed=seed)
         kwargs = {}
         if getattr(model, "require_recommend_context", False):
-            kwargs["context"] = _context(train)
+            kwargs["context"] = context_df if context_df is not None else _context(train)
         reco = model.recommend(users, ds, k=qg.K, filter_viewed=True, **kwargs)
         out[name] = {
             **qg.evaluate(reco, test),
@@ -159,20 +175,35 @@ def run_reference(train: pd.DataFrame, test: pd.DataFrame, epochs: int, hyper: d
 # ------------------------------------------------------------------ our side
 
 
-def run_ours(train: pd.DataFrame, test: pd.DataFrame, epochs: int, hyper: dict) -> dict:
+def run_ours(
+    train: pd.DataFrame,
+    test: pd.DataFrame,
+    epochs: int,
+    hyper: dict,
+    models: tuple = ("hstu", "sasrec"),
+    seed: int = 32,
+    context_df: "pd.DataFrame" = None,
+) -> dict:
     from rectools_tpu.dataset import Dataset
-    from rectools_tpu.models.nn.transformers import HSTUModel, SASRecModel
+    from rectools_tpu.models.nn.transformers import BERT4RecModel, HSTUModel, SASRecModel
+    from rectools_tpu.models.nn.transformers.ligr import LiGRLayers
 
+    factories = {
+        "hstu": lambda **kw: HSTUModel(**kw),
+        "sasrec": lambda **kw: SASRecModel(**kw),
+        "bert4rec": lambda **kw: BERT4RecModel(**kw),
+        "esasrec": lambda **kw: SASRecModel(transformer_layers_type=LiGRLayers, **kw),
+    }
     ds = Dataset.construct(train)
     users = test["user_id"].unique()
     out = {}
-    for name, cls in [("hstu", HSTUModel), ("sasrec", SASRecModel)]:
+    for name in models:
         t = time.time()
-        model = cls(epochs=epochs, seed=32, **hyper)
+        model = factories[name](epochs=epochs, seed=seed, **hyper)
         model.fit(ds)
         kwargs = {}
         if getattr(model, "require_recommend_context", False):
-            kwargs["context"] = _context(train)
+            kwargs["context"] = context_df if context_df is not None else _context(train)
         reco = model.recommend(users, ds, k=qg.K, filter_viewed=True, **kwargs)
         losses = [round(float(x), 4) for x in model.training_module.train_loss_history]
         out[name] = {
@@ -188,8 +219,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", choices=["small", "full"], default="small")
     parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("--models", default="hstu,sasrec",
+                        help="comma list of hstu,sasrec,bert4rec,esasrec")
+    parser.add_argument("--seeds", default="32", help="comma list of seeds")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
+    models = tuple(args.models.split(","))
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     df, _ = qg.generate_dataset(0)
     if args.scale == "small":
@@ -207,9 +243,12 @@ def main() -> None:
     train, test = qg.split_leave_one_out(data)
     log(f"scale={args.scale}: {len(data)} interactions, {data['user_id'].nunique()} users")
 
-    results = {"scale": args.scale, "epochs": args.epochs, "hyper": hyper}
-    results["reference"] = run_reference(train, test, args.epochs, hyper)
-    results["tpu"] = run_ours(train, test, args.epochs, hyper)
+    results = {"scale": args.scale, "epochs": args.epochs, "hyper": hyper, "seeds": seeds}
+    for seed in seeds:
+        results[f"reference_seed{seed}"] = run_reference(train, test, args.epochs, hyper, models, seed)
+        results[f"tpu_seed{seed}"] = run_ours(train, test, args.epochs, hyper, models, seed)
+    results["reference"] = results[f"reference_seed{seeds[0]}"]
+    results["tpu"] = results[f"tpu_seed{seeds[0]}"]
 
     out_path = args.out or f"/tmp/hstu_h2h_{args.scale}.json"
     Path(out_path).write_text(json.dumps(results, indent=1))

@@ -230,7 +230,7 @@ def main() -> None:
     log(f"adam_flat: {results['adam_flat']:.3f} ms/step")
 
     out = Path(__file__).with_name("results_step_decomposition.json")
-    out.write_text(json.dumps({"config": CFG, "steps": STEPS, "ms_per_step": results}, indent=1))
+    out.write_text(json.dumps({"config": {**CFG, "compute_dtype": "bfloat16"}, "steps": STEPS, "ms_per_step": results}, indent=1))
     log(f"wrote {out}")
     print(json.dumps(results))
 

@@ -11,6 +11,7 @@ rectools/models/nn/transformers/lightning.py:144-212 exactly:
 """
 
 import typing as tp
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -96,14 +97,14 @@ def fused_softmax_loss(
         # 1.56x faster at 15.9k)
         use_pallas = jax.default_backend() == "tpu" and n >= 8192
     if use_pallas:
-        from ....ops.softmax_lse import DEFAULT_BLOCK_M, DEFAULT_CHUNK_N, streaming_lse
+        from ....ops.softmax_lse import DEFAULT_BLOCK_M, DEFAULT_CHUNK_N
 
-        # wider item chunks amortize the streaming better (measured 8.5 ->
-        # 7.9 ms fwd+bwd at KION scale) but double the per-program VMEM
-        # probability tile — only safe at narrow feature dims
-        chunk_n = 4096 if d <= 128 else DEFAULT_CHUNK_N
-        lse = streaming_lse(s2, item_towers, None, DEFAULT_BLOCK_M, chunk_n).reshape(b, length)
-        return _ce_from_lse(session_towers, item_towers, y, w, lse)
+        # wider item chunks amortize the streaming better but grow the
+        # per-program VMEM probability tile; at narrow feature dims the
+        # (256, 4096) tiling measured fastest for both fwd and bwd on v5e
+        # (1.48 / 4.75 ms at KION scale; see /tmp-sweep notes in PERF_r03)
+        block_m, chunk_n = (256, 4096) if d <= 128 else (DEFAULT_BLOCK_M, DEFAULT_CHUNK_N)
+        return _fused_ce_pallas(s2, item_towers, y.reshape(-1), w.reshape(-1), block_m, chunk_n)
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk
     emb = jnp.pad(item_towers, ((0, n_pad - n), (0, 0)))
@@ -128,6 +129,68 @@ def fused_softmax_loss(
     (m, s), _ = jax.lax.scan(jax.checkpoint(body), init, (emb_chunks, mask_chunks))
     lse = (m + jnp.log(s)).reshape(b, length)
     return _ce_from_lse(session_towers, item_towers, y, w, lse)
+
+
+def _ce_pieces(s2, items, y_flat, w_flat, lse):
+    """Loss scalar + the per-position pieces both fwd and bwd need."""
+    logit_y = jnp.einsum("md,md->m", s2, items[y_flat], preferred_element_type=jnp.float32)
+    ce = jnp.where(y_flat == 0, 0.0, lse - logit_y)
+    weighted = ce * w_flat
+    denom = jnp.maximum(jnp.sum((weighted > 0).astype(jnp.float32)), 1.0)
+    return jnp.sum(weighted) / denom, ce, denom
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_ce_pallas(s2, items, y_flat, w_flat, block_m, chunk_n):
+    """Softmax CE via the streaming-lse kernel with a loss-level VJP.
+
+    Exploits the CE structure: the lse cotangent is ``c = g * w * [y!=0] /
+    denom`` — nonnegative up to the single scalar sign of the upstream
+    cotangent ``g`` (weights ``w`` must be nonnegative, which every built-in
+    preparator guarantees; a negative weight surfaces as NaN rather than a
+    silently wrong gradient). Folding ``log c`` into the exp's subtrahend
+    lets the backward kernel run two elementwise passes per logit instead of
+    the generic VJP's four (ops/softmax_lse.softmax_grads_from_z).
+    """
+    from ....ops.softmax_lse import streaming_lse
+
+    lse = streaming_lse(s2, items, None, block_m, chunk_n)
+    loss, _, _ = _ce_pieces(s2, items, y_flat, w_flat, lse)
+    return loss
+
+
+def _fused_ce_fwd(s2, items, y_flat, w_flat, block_m, chunk_n):
+    from ....ops.softmax_lse import streaming_lse
+
+    lse = streaming_lse(s2, items, None, block_m, chunk_n)
+    loss, ce, denom = _ce_pieces(s2, items, y_flat, w_flat, lse)
+    return loss, (s2, items, y_flat, w_flat, lse, ce, denom)
+
+
+def _fused_ce_bwd(block_m, chunk_n, residuals, g):
+    import numpy as np
+
+    from ....ops.softmax_lse import softmax_grads_from_z
+
+    s2, items, y_flat, w_flat, lse, ce, denom = residuals
+    g = jnp.asarray(g, jnp.float32)
+    mask = (y_flat != 0).astype(jnp.float32)
+    c = w_flat.astype(jnp.float32) * mask / denom  # per-row lse cotangent magnitude
+    gsgn = jnp.sign(g)
+    cg = c * jnp.abs(g)
+    z = lse - jnp.log(cg)  # c == 0 -> z = +inf -> that row's softmax grads vanish
+    ds_z, di_z = softmax_grads_from_z(s2, items, z, block_m, chunk_n)
+    coeff = (gsgn * cg)[:, None]  # = g * c
+    ds = gsgn * ds_z - coeff * items[y_flat].astype(jnp.float32)
+    di = gsgn * di_z - jax.ops.segment_sum(
+        coeff * s2.astype(jnp.float32), y_flat, num_segments=items.shape[0]
+    )
+    dw = (g * ce / denom).astype(w_flat.dtype)
+    dy = np.zeros(np.shape(y_flat), dtype=jax.dtypes.float0)
+    return ds.astype(s2.dtype), di.astype(items.dtype), dy, dw
+
+
+_fused_ce_pallas.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
 def _ce_from_lse(

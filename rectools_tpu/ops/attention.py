@@ -413,16 +413,55 @@ def _reference_attention(
     dropout_rate: float = 0.0,
     seed: tp.Optional[jnp.ndarray] = None,
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
-    """XLA-math path with identical semantics (and identical dropout bits)."""
+    """XLA-math path with identical semantics (and identical dropout bits).
+
+    Scores and the softmax normalization stay f32; the probability tensor
+    (and dropout mask) drop to the INPUT precision for the value
+    contraction — under bf16 inputs this halves the (B, H, L, L) HBM
+    traffic, which dominates this path at recsys shapes; under f32 inputs
+    the cast is a no-op and the math is unchanged.
+    """
     b, h, l, _ = q.shape
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
     lse = jax.nn.logsumexp(s, axis=-1)
-    p = jnp.exp(s - lse[..., None])
+    p = jnp.exp(s - lse[..., None]).astype(q.dtype)
     if dropout_rate > 0.0:
         keep = _full_keep_mask(seed, b * h, l, dropout_rate).reshape(b, h, l, l)
-        p = p * keep * (1.0 / (1.0 - dropout_rate))
+        p = p * (keep * (1.0 / (1.0 - dropout_rate))).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
     return out, lse
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def xla_attention(q, k, v, bias, seed, scale, dropout_rate):
+    """`_reference_attention` under a recompute-based VJP.
+
+    Plain autodiff through the XLA path saves ~4 score-sized (B, H, L, L)
+    residuals per call between forward and backward; at L=100/B=512 those
+    are 82 MB f32 each and the path is bandwidth-bound, not FLOP-bound.
+    Recomputing scores and probabilities in the backward (one extra
+    O(B*H*L^2*dh) matmul — trivial next to the traffic) keeps only
+    (q, k, v, out, lse) live. Bias is treated as a constant mask (the
+    Pallas dispatch already routes learnable-bias layers elsewhere).
+    """
+    out, _ = _reference_attention(q, k, v, bias, scale, dropout_rate, seed)
+    return out
+
+
+def _xla_attention_fwd(q, k, v, bias, seed, scale, dropout_rate):
+    out, lse = _reference_attention(q, k, v, bias, scale, dropout_rate, seed)
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+def _xla_attention_bwd(scale, dropout_rate, residuals, d_out):
+    q, k, v, bias, seed, out, lse = residuals
+    delta = jnp.sum(d_out.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dq, dk, dv, _ = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed
+
+
+xla_attention.defvjp(_xla_attention_fwd, _xla_attention_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -471,9 +510,12 @@ def _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate):
     else:
         p_dropped = p
     ds = p * (dp - delta[..., None])
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q, preferred_element_type=jnp.float32) * scale
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p_dropped, d_out, preferred_element_type=jnp.float32)
+    # score-sized matmul operands at the input precision: halves their HBM
+    # traffic and doubles the MXU rate under bf16 inputs; no-op under f32
+    ds_op = ds.astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds_op, k, preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds_op, q, preferred_element_type=jnp.float32) * scale
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_dropped.astype(q.dtype), d_out, preferred_element_type=jnp.float32)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds
 
 
@@ -564,6 +606,10 @@ def dot_product_attention(
     seed = dropout_seed if dropout_seed is not None else jnp.zeros((1,), jnp.int32)
     if use_fused:
         out = fused_attention(qt, kt, vt, bias, seed, scale, dropout_rate, DEFAULT_BLOCK_Q, False, bias_has_grad)
-    else:
+    elif bias_has_grad:
+        # learnable additive bias needs d(bias) = full score gradient; plain
+        # autodiff provides it (the recompute VJP below treats bias as a mask)
         out, _ = _reference_attention(qt, kt, vt, bias, scale, dropout_rate, seed)
+    else:
+        out = xla_attention(qt, kt, vt, bias, seed, scale, dropout_rate)
     return out.transpose(0, 2, 1, 3)

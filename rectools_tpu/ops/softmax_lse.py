@@ -41,7 +41,12 @@ _NEG_BIG = -1e30
 
 
 def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
-    """(m-block i, item-chunk j) program: flash-style running logsumexp."""
+    """(m-block i, item-chunk j) program: flash-style running logsumexp.
+
+    General form: caller-supplied additive per-item bias (whole array resident
+    in VMEM — one DMA total, indexed by chunk; a per-program (1, 1, chunk)
+    block spec would re-DMA every program and cost ~2.5 ms at KION scale).
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -52,7 +57,7 @@ def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[0, 0][None, :]  # (block_m, chunk_n); invalid rows -> -1e30
+    ) + rowbias_ref[j, 0][None, :]  # (block_m, chunk_n); invalid rows -> -1e30
 
     m_old = m_ref[0, 0]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
@@ -60,8 +65,51 @@ def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
     m_ref[0, 0] = m_new
 
 
+def _lse_fwd_tail_kernel(s_ref, items_ref, m_ref, l_ref, *, n_valid, chunk_n, j_last):
+    """Tail-mask fwd: no bias input, no item padding.
+
+    The item table arrives UNPADDED — the final grid block reads past the
+    array bound (Pallas fills it with unspecified values) and an iota mask
+    rewrites those columns to -1e30 before the reduction. Skipping the host
+    ``jnp.pad`` matters far more than the mask pass costs: the per-step pad
+    copy of the item tower measured +2.4 ms at KION scale (16.4k x 128).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref[...], _NEG_BIG)
+        l_ref[...] = jnp.zeros_like(l_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def _update(lg):
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, jnp.max(lg, axis=1))
+        l_ref[0, 0] = l_ref[0, 0] * jnp.exp(m_old - m_new) + jnp.sum(jnp.exp(lg - m_new[:, None]), axis=1)
+        m_ref[0, 0] = m_new
+
+    @pl.when(j < j_last)
+    def _full_chunk():
+        _update(logits)
+
+    @pl.when(j == j_last)
+    def _masked_tail():
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        _update(jnp.where(cols < n_valid - j_last * chunk_n, logits, _NEG_BIG))
+
+
 def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
-    """ds = dlse * softmax @ items, accumulated over item chunks."""
+    """ds = dlse * softmax @ items, accumulated over item chunks.
+
+    Small per-row inputs (bias, lse, dlse) are whole-array resident blocks
+    indexed by grid position — per-program (1, 1, n) block specs would issue
+    a tiny DMA every program and dominate the kernel at recsys shapes.
+    """
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -71,9 +119,9 @@ def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[0, 0][None, :]
-    p = jnp.exp(logits - lse_ref[0, 0][:, None])
-    weighted = p * dlse_ref[0, 0][:, None]
+    ) + rowbias_ref[j, 0][None, :]
+    p = jnp.exp(logits - lse_ref[i, 0][:, None])
+    weighted = p * dlse_ref[i, 0][:, None]
     # accumulator stays f32 across chunks (bf16 += would round each step);
     # under bf16 inputs the probability operand drops to bf16 so the MXU runs
     # the product at bf16 rate — accumulation is still f32
@@ -94,6 +142,7 @@ def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, 
     O(n_chunks * M * D) HBM, which is why the split path remains for very
     large catalogs (see _FUSED_BWD_PARTIALS_BUDGET).
     """
+    j = pl.program_id(0)
     i = pl.program_id(1)  # m-block index (fast axis -> consecutive di revisits)
 
     @pl.when(i == 0)
@@ -103,8 +152,8 @@ def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, 
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[0, 0][None, :]
-    pw = jnp.exp(logits - lse_ref[0, 0][:, None]) * dlse_ref[0, 0][:, None]
+    ) + rowbias_ref[j, 0][None, :]
+    pw = jnp.exp(logits - lse_ref[i, 0][:, None]) * dlse_ref[i, 0][:, None]
     pw_op = pw.astype(s_ref.dtype)  # MXU runs at the input precision; f32 accumulation below
     dsp_ref[0, ...] = jnp.dot(pw_op, items_ref[...], preferred_element_type=jnp.float32)
     di_ref[...] += jax.lax.dot_general(
@@ -115,6 +164,7 @@ def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, 
 
 def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     """d(items) = softmax^T @ (dlse * sessions), accumulated over m-blocks."""
+    j = pl.program_id(0)
     i = pl.program_id(1)  # m-block index (fast axis -> consecutive revisits)
 
     @pl.when(i == 0)
@@ -124,9 +174,9 @@ def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[0, 0][None, :]
-    p = jnp.exp(logits - lse_ref[0, 0][:, None])
-    weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[0, 0][:, None]
+    ) + rowbias_ref[j, 0][None, :]
+    p = jnp.exp(logits - lse_ref[i, 0][:, None])
+    weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[i, 0][:, None]
     # match operand precision to the input dtype (f32 accumulation either way)
     di_ref[...] += jax.lax.dot_general(
         p.astype(s_ref.dtype),
@@ -172,6 +222,27 @@ def streaming_lse(
 
 def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret):
     m_rows, d = sessions.shape
+    out_spec = [pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0))] * 2
+
+    if row_bias is None:
+        # tail mode: unpadded items, final chunk iota-masked in-kernel
+        s_pad = _pad_rows(sessions, block_m)
+        n_m = s_pad.shape[0] // block_m
+        n_valid = items.shape[0]
+        n_chunks = -(-n_valid // chunk_n)
+        m_run, l_run = pl.pallas_call(
+            partial(_lse_fwd_tail_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
+            grid=(n_m, n_chunks),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
+            ],
+            out_specs=out_spec,
+            out_shape=[jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32)] * 2,
+            interpret=interpret,
+        )(s_pad, items)
+        return (m_run + jnp.log(l_run)).reshape(-1)[:m_rows]
+
     s_pad, items_pad, bias3, n_m, n_chunks = _prepare(sessions, items, row_bias, block_m, chunk_n)
     m_run, l_run = pl.pallas_call(
         _lse_fwd_kernel,
@@ -179,12 +250,9 @@ def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret):
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, 1, chunk_n), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((n_chunks, 1, chunk_n), lambda i, j: (0, 0, 0)),  # whole bias resident
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
-        ],
+        out_specs=out_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32),
             jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32),
@@ -222,9 +290,9 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
             in_specs=[
                 pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
                 pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-                pl.BlockSpec((1, 1, chunk_n), lambda j, i: (j, 0, 0)),
-                pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
-                pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
+                pl.BlockSpec((n_chunks, 1, chunk_n), lambda j, i: (0, 0, 0)),
+                pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
+                pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
@@ -245,9 +313,9 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, 1, chunk_n), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((n_chunks, 1, chunk_n), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(s_pad.shape, jnp.float32),
@@ -260,9 +328,9 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
         in_specs=[
             pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((1, 1, chunk_n), lambda j, i: (j, 0, 0)),
-            pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, block_m), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((n_chunks, 1, chunk_n), lambda j, i: (0, 0, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct(items_pad.shape, jnp.float32),
@@ -315,6 +383,172 @@ def sharded_streaming_lse(
         out_specs=P(data_axis) if data_axis is not None else P(),
         check_vma=False,
     )(sessions, items_padded, valid)
+
+
+def _grads_z_fused_kernel(s_ref, items_ref, z_ref, di_ref, dsp_ref, *, n_valid, chunk_n, j_last):
+    """One (item-chunk j, m-block i) program emitting both softmax grads
+    from the z-folded row vector: pw = exp(logits - z).
+
+    ``z = lse - log(c)`` folds the per-row cotangent magnitude c >= 0 into
+    the exp's subtrahend, so the kernel runs two elementwise passes
+    (sub+exp, cast) where the generic backward runs four (bias add, sub,
+    exp, dlse mul). The item table arrives UNPADDED (the final block's
+    out-of-bounds columns are iota-masked to zero probability — required:
+    the dsp row sums over ALL columns, so garbage there would pollute valid
+    ds rows); z is whole-array resident (one DMA, not one per program); z
+    rows for padded/ignored sessions are +inf.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)  # m-block index (fast axis -> consecutive di revisits)
+
+    @pl.when(i == 0)
+    def _init():
+        di_ref[...] = jnp.zeros_like(di_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrow = z_ref[i, 0]
+
+    def _emit(pw, items):
+        pw = pw.astype(s_ref.dtype)
+        dsp_ref[0, ...] = jnp.dot(pw, items, preferred_element_type=jnp.float32).astype(
+            dsp_ref.dtype
+        )
+        di_ref[...] += jax.lax.dot_general(
+            pw, s_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j < j_last)
+    def _full_chunk():
+        _emit(jnp.exp(logits - zrow[:, None]), items_ref[...])
+
+    @pl.when(j == j_last)
+    def _masked_tail():
+        tail_valid = n_valid - j_last * chunk_n
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        pw = jnp.where(cols < tail_valid, jnp.exp(logits - zrow[:, None]), 0.0)
+        # the dsp row sums over ALL columns, and out-of-bounds item garbage
+        # can be NaN — 0 * NaN = NaN, so the items operand must be zeroed
+        # too, not just the probabilities
+        rows = jax.lax.broadcasted_iota(jnp.int32, items_ref.shape, 0)
+        _emit(pw, jnp.where(rows < tail_valid, items_ref[...], 0))
+
+
+def _ds_z_kernel(s_ref, items_ref, z_ref, ds_ref):
+    """Split fallback: padded items (zero rows annihilate their ds term)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        ds_ref[...] = jnp.zeros_like(ds_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pw = jnp.exp(logits - z_ref[i, 0][:, None]).astype(s_ref.dtype)
+    ds_ref[...] += jnp.dot(pw, items_ref[...], preferred_element_type=jnp.float32)
+
+
+def _di_z_kernel(s_ref, items_ref, z_ref, di_ref):
+    """Split fallback: padded di rows are garbage and sliced off."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        di_ref[...] = jnp.zeros_like(di_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pw = jnp.exp(logits - z_ref[i, 0][:, None]).astype(s_ref.dtype)
+    di_ref[...] += jax.lax.dot_general(
+        pw, s_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def softmax_grads_from_z(
+    sessions: jnp.ndarray,  # (M, D)
+    items: jnp.ndarray,  # (N, D)
+    z: jnp.ndarray,  # (M,) f32: lse - log(row cotangent magnitude), +inf = ignore row
+    block_m: int = DEFAULT_BLOCK_M,
+    chunk_n: int = DEFAULT_CHUNK_N,
+    interpret: bool = False,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ds, di) = (P @ items, P^T @ sessions) with P = exp(sessions @ items^T - z).
+
+    The nonnegative-cotangent softmax backward: callers that know their
+    per-row lse cotangent is ``c >= 0`` up to one scalar sign (softmax CE:
+    c = w/denom) pass ``z = lse - log(c)`` and apply the scalar sign to the
+    outputs. The ds partials are emitted at the input dtype (bf16 inputs ->
+    bf16 partials): the factors are bf16 anyway, so the extra rounding is
+    below the product noise, and it halves the partial-sum HBM traffic.
+    """
+    m_rows, d = sessions.shape
+    n_valid = items.shape[0]
+    s_pad = _pad_rows(sessions, block_m)
+    n_m = s_pad.shape[0] // block_m
+    n_chunks = -(-n_valid // chunk_n)
+    # padded session rows: z=+inf makes pw vanish
+    z_pad = jnp.pad(z.astype(jnp.float32), (0, s_pad.shape[0] - m_rows), constant_values=jnp.inf)
+    z3 = z_pad.reshape(n_m, 1, block_m)
+    part_dtype = sessions.dtype if sessions.dtype == jnp.bfloat16 else jnp.float32
+
+    partials_bytes = n_chunks * s_pad.shape[0] * d * jnp.dtype(part_dtype).itemsize
+    if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:
+        di, ds_partials = pl.pallas_call(
+            partial(_grads_z_fused_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
+            grid=(n_chunks, n_m),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),  # z resident
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((1, block_m, d), lambda j, i: (j * n_m + i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chunks * chunk_n, d), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * n_m, block_m, d), part_dtype),
+            ],
+            interpret=interpret,
+        )(s_pad, items, z3)
+        ds = ds_partials.reshape(n_chunks, s_pad.shape[0], d).astype(jnp.float32).sum(axis=0)
+        return ds[:m_rows], di[:n_valid]
+
+    items_pad = _pad_rows(items, chunk_n)
+    ds = pl.pallas_call(
+        _ds_z_kernel,
+        grid=(n_m, n_chunks),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(s_pad.shape, jnp.float32),
+        interpret=interpret,
+    )(s_pad, items_pad, z3)
+    di = pl.pallas_call(
+        _di_z_kernel,
+        grid=(n_chunks, n_m),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct(items_pad.shape, jnp.float32),
+        interpret=interpret,
+    )(s_pad, items_pad, z3)
+    return ds[:m_rows], di[:n_valid]
 
 
 def reference_lse(sessions: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:

@@ -286,3 +286,34 @@ class TestGroupedPrograms:
         # holds ~5 score-sized tensors per block (OOMs 16 GB at 655 MB scores)
         assert not _prefer_xla_attention(512, 8, 200)
         assert not _prefer_xla_attention(16384, 8, 300)
+
+
+class TestXlaAttentionRecomputeVjp:
+    """The XLA-path recompute VJP (ops/attention.xla_attention) must match
+    plain autodiff through the same math — it trades residual traffic for a
+    score recompute, not different numerics."""
+
+    @pytest.mark.parametrize("dropout_rate", [0.0, 0.3])
+    def test_grads_match_autodiff(self, dropout_rate) -> None:
+        from rectools_tpu.ops.attention import _reference_attention, xla_attention
+
+        rng = np.random.default_rng(0)
+        b, h, l, dh = 3, 2, 12, 8
+        q, k, v = (jnp.asarray(rng.normal(size=(b, h, l, dh)).astype(np.float32)) for _ in range(3))
+        bias = jnp.where(jnp.tril(jnp.ones((l, l), bool)), 0.0, -1e30)[None, None]
+        seed = jnp.asarray([7], jnp.int32)
+        scale = 1.0 / np.sqrt(dh)
+
+        def via_autodiff(q_, k_, v_):
+            out, _ = _reference_attention(q_, k_, v_, bias, scale, dropout_rate, seed)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        def via_vjp(q_, k_, v_):
+            out = xla_attention(q_, k_, v_, bias, seed, scale, dropout_rate)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        np.testing.assert_allclose(float(via_autodiff(q, k, v)), float(via_vjp(q, k, v)), rtol=1e-6)
+        g_ref = jax.grad(via_autodiff, argnums=(0, 1, 2))(q, k, v)
+        g_vjp = jax.grad(via_vjp, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip(("dq", "dk", "dv"), g_ref, g_vjp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5, err_msg=name)

@@ -176,3 +176,77 @@ class TestFusedBackwardPaths:
         np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(gf[1][300:]), 0.0, atol=1e-6)
+
+
+class TestSoftmaxGradsFromZ:
+    """The nonnegative-cotangent backward (softmax_grads_from_z) and the
+    loss-level VJP built on it (losses._fused_ce_pallas)."""
+
+    @pytest.mark.parametrize("m,n", [(300, 1500), (64, 100), (256, 1024)])
+    def test_matches_dense_math(self, m, n) -> None:
+        from rectools_tpu.ops.softmax_lse import softmax_grads_from_z
+
+        sessions, items = _inputs(m, n)
+        z = reference_lse(sessions, items) + 0.3  # any finite per-row shift
+        ds, di = softmax_grads_from_z(sessions, items, z, 128, 512, True)
+        p = jnp.exp(jnp.einsum("md,nd->mn", sessions, items) - z[:, None])
+        np.testing.assert_allclose(np.asarray(ds), np.asarray(p @ items), rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(di), np.asarray(p.T @ sessions), rtol=2e-5, atol=1e-5)
+
+    def test_inf_z_rows_vanish(self) -> None:
+        from rectools_tpu.ops.softmax_lse import softmax_grads_from_z
+
+        sessions, items = _inputs(64, 200)
+        z = reference_lse(sessions, items).at[:10].set(jnp.inf)
+        ds, di = softmax_grads_from_z(sessions, items, z, 32, 64, True)
+        assert np.all(np.asarray(ds)[:10] == 0)
+        assert np.all(np.isfinite(np.asarray(di)))
+
+    def test_split_fallback_matches_fused(self, monkeypatch) -> None:
+        import rectools_tpu.ops.softmax_lse as sl
+
+        sessions, items = _inputs(128, 700)
+        z = reference_lse(sessions, items) + 0.1
+        fused = sl.softmax_grads_from_z(sessions, items, z, 64, 256, True)
+        monkeypatch.setattr(sl, "_FUSED_BWD_PARTIALS_BUDGET", 0)
+        split = sl.softmax_grads_from_z(sessions, items, z, 64, 256, True)
+        for a, b in zip(fused, split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+
+
+class TestFusedCePallasVjp:
+    """Loss-level VJP: value and all gradients match the dense XLA softmax CE,
+    including a negated upstream cotangent (scalar sign folding)."""
+
+    @pytest.mark.parametrize("sign", [1.0, -1.0])
+    def test_matches_dense_ce(self, sign, monkeypatch) -> None:
+        import rectools_tpu.ops.softmax_lse as sl
+        from rectools_tpu.models.nn.transformers.losses import _fused_ce_pallas, softmax_loss
+
+        orig_lse, orig_gz = sl.streaming_lse, sl.softmax_grads_from_z
+        monkeypatch.setattr(
+            sl, "streaming_lse", lambda s, i, b, bm, cn, interpret=False: orig_lse(s, i, b, bm, cn, True)
+        )
+        monkeypatch.setattr(
+            sl, "softmax_grads_from_z", lambda s, i, z, bm, cn, interpret=False: orig_gz(s, i, z, bm, cn, True)
+        )
+        rng = np.random.default_rng(0)
+        b, length, d, n = 4, 7, 16, 50
+        s = jnp.asarray(rng.normal(size=(b, length, d)).astype(np.float32))
+        items = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, n, size=(b, length)))
+        w = jnp.asarray(rng.uniform(0, 2, size=(b, length)).astype(np.float32)).at[0, 0].set(0.0)
+
+        def ref(s_, i_, w_):
+            return sign * softmax_loss(jnp.einsum("bld,nd->bln", s_, i_), y, w_)
+
+        def fast(s_, i_, w_):
+            return sign * _fused_ce_pallas(s_.reshape(-1, d), i_, y.reshape(-1), w_.reshape(-1), 8, 16)
+
+        np.testing.assert_allclose(float(ref(s, items, w)), float(fast(s, items, w)), rtol=1e-5)
+        g_ref = jax.grad(ref, argnums=(0, 1, 2))(s, items, w)
+        g_fast = jax.grad(fast, argnums=(0, 1, 2))(s, items, w)
+        for name, a, b_ in zip(("s", "items", "w"), g_ref, g_fast):
+            np.testing.assert_allclose(
+                np.asarray(a).reshape(-1), np.asarray(b_).reshape(-1), rtol=2e-4, atol=1e-6, err_msg=name
+            )
