@@ -138,6 +138,7 @@ def run_reference(
     models: tuple = ("hstu", "sasrec"),
     seed: int = 32,
     context_df: "pd.DataFrame" = None,
+    per_model_hyper: dict = None,
 ) -> dict:
     _import_reference()
     from rectools.dataset import Dataset as RefDataset
@@ -157,7 +158,13 @@ def run_reference(
     out = {}
     for name in models:
         t = time.time()
-        model = factories[name](get_trainer_func=lambda: None, epochs=epochs, **hyper)
+        kw = {**hyper, **(per_model_hyper or {}).get(name, {})}
+        # logits temperature rides the side-specific kwargs channel (the HSTU
+        # tutorial's logits_t=0.05 — reference lightning.py:111)
+        logits_t = kw.pop("logits_t", None)
+        if logits_t is not None:
+            kw["lightning_module_kwargs"] = {"logits_t": logits_t}
+        model = factories[name](get_trainer_func=lambda: None, epochs=epochs, **kw)
         losses = train_reference(model, ds, epochs, seed=seed)
         kwargs = {}
         if getattr(model, "require_recommend_context", False):
@@ -183,6 +190,7 @@ def run_ours(
     models: tuple = ("hstu", "sasrec"),
     seed: int = 32,
     context_df: "pd.DataFrame" = None,
+    per_model_hyper: dict = None,
 ) -> dict:
     from rectools_tpu.dataset import Dataset
     from rectools_tpu.models.nn.transformers import BERT4RecModel, HSTUModel, SASRecModel
@@ -199,7 +207,11 @@ def run_ours(
     out = {}
     for name in models:
         t = time.time()
-        model = factories[name](epochs=epochs, seed=seed, **hyper)
+        kw = {**hyper, **(per_model_hyper or {}).get(name, {})}
+        logits_t = kw.pop("logits_t", None)
+        if logits_t is not None:
+            kw["training_module_kwargs"] = {"logits_t": logits_t}
+        model = factories[name](epochs=epochs, seed=seed, **kw)
         model.fit(ds)
         kwargs = {}
         if getattr(model, "require_recommend_context", False):

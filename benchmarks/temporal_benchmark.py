@@ -178,6 +178,10 @@ def main() -> None:
         n_blocks=2, n_heads=4, n_factors=64, session_max_len=session_max_len,
         batch_size=128, lr=1e-3, loss="sampled_softmax", n_negatives=128,
     )
+    # each family runs its tutorial-documented head config: HSTU takes the
+    # logits temperature its tutorial pins (logits_t=0.05 — "same as in the
+    # original repository"); SASRec keeps its default dot-product head
+    per_model = {"hstu": {"logits_t": 0.05}}
     log(f"scale={args.scale}: {len(df)} interactions, {n_users} users, "
         f"{int(truth['final_is_short'].sum())} short-gap holdouts")
 
@@ -192,11 +196,13 @@ def main() -> None:
 
     for seed in seeds:
         results[f"tpu_seed{seed}"] = run_ours(
-            train, test, args.epochs, hyper, models=models, seed=seed, context_df=context
+            train, test, args.epochs, hyper, models=models, seed=seed, context_df=context,
+            per_model_hyper=per_model,
         )
         if not args.skip_reference:
             results[f"reference_seed{seed}"] = run_reference(
-                train, test, args.epochs, hyper, models=models, seed=seed, context_df=context
+                train, test, args.epochs, hyper, models=models, seed=seed, context_df=context,
+                per_model_hyper=per_model,
             )
         out_path = args.out or f"/tmp/temporal_{args.scale}.json"
         Path(out_path).write_text(json.dumps(results, indent=1))

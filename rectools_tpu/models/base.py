@@ -221,6 +221,46 @@ class ModelBase(tp.Generic[ModelConfig_T]):
 
     # ------------------------------------------------------------------ recommend
 
+    def warmup(
+        self,
+        dataset: Dataset,
+        k: int,
+        filter_viewed: tp.Union[bool, tp.Tuple[bool, ...]] = (True, False),
+        items_to_recommend: tp.Optional[ExternalIds] = None,
+        context: tp.Optional[pd.DataFrame] = None,
+        n_users: int = 4096,
+    ) -> "ModelBase":
+        """Pre-compile the serving path so the first real query is warm.
+
+        The first ``recommend`` per configuration pays the XLA compile
+        (17-36 s for transformer models at KION scale). This runs a
+        throwaway recommend for each ``filter_viewed`` variant (seen-mask
+        filtering and unfiltered ranking are different jit graphs) so a
+        server's first real query hits compiled code. Shapes are bucketed
+        (session-encode batches pad to the serving batch size; top-k query
+        batches and seen-list lengths pad to powers of two), so the warmup
+        query must be serving-SIZED, not a single user — ``n_users``
+        defaults to the top-k engine's full batch bucket. Pass the same
+        ``items_to_recommend`` / ``context`` the server will use (a
+        whitelist compiles its own graph, and context-requiring models such
+        as HSTU need one here too).
+        """
+        hot_users = dataset.user_id_map.external_ids[: dataset.n_hot_users]
+        if len(hot_users) == 0:
+            raise ValueError("warmup needs a dataset with at least one hot user")
+        variants = (filter_viewed,) if isinstance(filter_viewed, bool) else tuple(filter_viewed)
+        for fv in variants:
+            self.recommend(
+                users=hot_users[:n_users],
+                dataset=dataset,
+                k=k,
+                filter_viewed=fv,
+                items_to_recommend=items_to_recommend,
+                context=context,
+                on_unsupported_targets="ignore",
+            )
+        return self
+
     def recommend(
         self,
         users: ExternalIds,
