@@ -140,7 +140,13 @@ class STULayer(nn.Module):
             (self.n_factors, lh * 2 * h + ad * h * 2),
             jnp.float32,
         )
-        transformed = nn.silu(jnp.matmul(normed_x, uvqk_proj, preferred_element_type=jnp.float32))
+        # silu in f32 for accuracy, then back to the working precision: under
+        # bf16 compute this keeps u/v/q/k (and the (B, H, L, L) score streams
+        # they feed) at bf16 instead of silently promoting the whole STU
+        # stack to f32
+        transformed = nn.silu(
+            jnp.matmul(normed_x, uvqk_proj, preferred_element_type=jnp.float32)
+        ).astype(seqs.dtype)
         u, v, q, k = jnp.split(transformed, [lh * h, lh * 2 * h, lh * 2 * h + ad * h], axis=-1)
 
         rel_module = RelativeAttentionBias(
@@ -167,18 +173,23 @@ class STULayer(nn.Module):
             )
             attn_output = out4.transpose(0, 2, 1, 3).reshape(batch_size, l, h * lh)
         else:
+            # Score pipeline at the working precision: under bf16 compute the
+            # (B, H, L, L) score/silu/mask streams dominate this path's HBM
+            # traffic at long L, and bf16 halves them (MXU still accumulates
+            # f32 internally). f32 inputs keep the exact f32 pipeline.
+            work = seqs.dtype if seqs.dtype == jnp.bfloat16 else jnp.float32
             qk_attn = jnp.einsum(
                 "bnhd,bmhd->bhnm",
                 q.reshape(batch_size, l, h, ad),
                 k.reshape(batch_size, l, h, ad),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(work)
             rel = rel_module(batch)
-            qk_attn = qk_attn + rel[:, None, :, :]
+            qk_attn = qk_attn + rel[:, None, :, :].astype(work)
             qk_attn = nn.silu(qk_attn) / self.session_max_len
 
             timeline_fix = tm[:, None, :] * timeline_mask  # (B, L, L)
-            qk_attn = qk_attn * attn_allowed * timeline_fix[:, None, :, :]
+            qk_attn = qk_attn * attn_allowed.astype(work) * timeline_fix[:, None, :, :].astype(work)
 
             attn_output = jnp.einsum(
                 "bhnm,bmhd->bnhd",

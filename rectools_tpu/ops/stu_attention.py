@@ -228,8 +228,16 @@ def _stu_reference(
     use_time: bool,
     use_pos: bool,
 ) -> jnp.ndarray:
-    """XLA-math path (used on CPU and as custom_vjp backward recompute)."""
+    """XLA-math path (used on CPU and as custom_vjp backward recompute).
+
+    The score pipeline runs at the INPUT precision after the f32 score
+    accumulation + bias add: under bf16 compute the (B, H, L, L) silu/mask
+    streams (and the autodiff residuals carried to the backward) halve —
+    they dominate this path's HBM traffic at long L. f32 inputs keep the
+    exact f32 pipeline.
+    """
     b, h, l, _ = q.shape
+    work = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     if use_time:
         t_q = ts[:, 1 : l + 1]
@@ -241,8 +249,8 @@ def _stu_reference(
         # off TPU's gather/scatter units (the rel_idx gather's backward is a
         # (L*L -> 2L-1) scatter that XLA serializes)
         s = s + _toeplitz_bias(pos_weights, l)[None, None, :, :]
-    a = jax.nn.silu(s) / l
-    mask = allowed.astype(jnp.float32)[None] * (timeline[:, None, :, None] * timeline[:, None, None, :])
+    a = jax.nn.silu(s.astype(work)) / l
+    mask = allowed.astype(work)[None] * (timeline[:, None, :, None] * timeline[:, None, None, :]).astype(work)
     a = a * mask
     return jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
