@@ -422,9 +422,13 @@ def _reference_attention(
     the cast is a no-op and the math is unchanged.
     """
     b, h, l, _ = q.shape
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
-    lse = jax.nn.logsumexp(s, axis=-1)
-    p = jnp.exp(s - lse[..., None]).astype(q.dtype)
+    # the (B, H, L, L) score buffer is STORED at the input precision (f32
+    # accumulation inside the matmul; softmax statistics recomputed in f32
+    # from the rounded scores) — under bf16 inputs this halves the dominant
+    # HBM stream of this path; under f32 inputs every cast is a no-op
+    s = (jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias).astype(q.dtype)
+    lse = jax.nn.logsumexp(s.astype(jnp.float32), axis=-1)
+    p = jnp.exp(s.astype(jnp.float32) - lse[..., None]).astype(q.dtype)
     if dropout_rate > 0.0:
         keep = _full_keep_mask(seed, b * h, l, dropout_rate).reshape(b, h, l, l)
         p = p * (keep * (1.0 / (1.0 - dropout_rate))).astype(q.dtype)
@@ -499,20 +503,21 @@ def _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate):
     """Recompute-based backward in plain XLA (used beyond the VMEM budget and
     for bias gradients)."""
     b, h, l, _ = q.shape
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias
-    p = jnp.exp(s - lse[..., None])
-    dp = jnp.einsum("bhqd,bhkd->bhqk", d_out, v, preferred_element_type=jnp.float32)
+    # every score-sized (B, H, L, L) intermediate is STORED at the input
+    # precision (matmul accumulation and the elementwise chain stay f32);
+    # halves this recompute's HBM traffic under bf16, no-op under f32
+    s = (jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale + bias).astype(q.dtype)
+    p = jnp.exp(s.astype(jnp.float32) - lse[..., None]).astype(q.dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", d_out, v, preferred_element_type=jnp.float32).astype(q.dtype)
     if dropout_rate > 0.0:
         keep = _full_keep_mask(seed, b * h, l, dropout_rate).reshape(b, h, l, l)
-        scaled_keep = keep * (1.0 / (1.0 - dropout_rate))
+        scaled_keep = (keep * (1.0 / (1.0 - dropout_rate))).astype(q.dtype)
         p_dropped = p * scaled_keep
         dp = dp * scaled_keep
     else:
         p_dropped = p
-    ds = p * (dp - delta[..., None])
-    # score-sized matmul operands at the input precision: halves their HBM
-    # traffic and doubles the MXU rate under bf16 inputs; no-op under f32
-    ds_op = ds.astype(q.dtype)
+    ds = (p.astype(jnp.float32) * (dp.astype(jnp.float32) - delta[..., None])).astype(q.dtype)
+    ds_op = ds
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds_op, k, preferred_element_type=jnp.float32) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds_op, q, preferred_element_type=jnp.float32) * scale
     dv = jnp.einsum("bhqk,bhqd->bhkd", p_dropped.astype(q.dtype), d_out, preferred_element_type=jnp.float32)
@@ -534,7 +539,7 @@ def _fused_attention_bwd(scale, dropout_rate, block_q, interpret, bias_has_grad,
         # materialized (B, H, L, L) quantity by definition, so it comes from
         # the XLA recompute (opt-in path, not used by the mask-only default)
         *_unused, ds = _xla_bwd_math(q, k, v, bias, seed, lse, delta, d_out, scale, dropout_rate)
-        db = ds
+        db = ds.astype(jnp.float32)  # broadcast reductions accumulate in f32
         if bias.shape[0] == 1:
             db = db.sum(axis=0, keepdims=True)
         if bias.shape[1] == 1:
