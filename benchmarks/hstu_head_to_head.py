@@ -159,6 +159,7 @@ def run_reference(
     for name in models:
         t = time.time()
         kw = {**hyper, **(per_model_hyper or {}).get(name, {})}
+        kw = {k: v for k, v in kw.items() if v is not None}  # None override = drop the key
         # logits temperature rides the side-specific kwargs channel (the HSTU
         # tutorial's logits_t=0.05 — reference lightning.py:111)
         logits_t = kw.pop("logits_t", None)
@@ -208,6 +209,7 @@ def run_ours(
     for name in models:
         t = time.time()
         kw = {**hyper, **(per_model_hyper or {}).get(name, {})}
+        kw = {k: v for k, v in kw.items() if v is not None}  # None override = drop the key
         logits_t = kw.pop("logits_t", None)
         if logits_t is not None:
             kw["training_module_kwargs"] = {"logits_t": logits_t}
@@ -255,10 +257,20 @@ def main() -> None:
     train, test = qg.split_leave_one_out(data)
     log(f"scale={args.scale}: {len(data)} interactions, {data['user_id'].nunique()} users")
 
-    results = {"scale": args.scale, "epochs": args.epochs, "hyper": hyper, "seeds": seeds}
+    # BERT4Rec trains on the gate's config (full softmax over the catalog,
+    # MLM masking) — sampled_softmax + n_negatives is the shifted-sequence
+    # families' objective and not what quality_gate.py:231 measures.
+    per_model_hyper = {"bert4rec": {"loss": "softmax", "n_negatives": None}}
+
+    results = {
+        "scale": args.scale, "epochs": args.epochs, "hyper": hyper, "seeds": seeds,
+        "per_model_hyper": per_model_hyper,
+    }
     for seed in seeds:
-        results[f"reference_seed{seed}"] = run_reference(train, test, args.epochs, hyper, models, seed)
-        results[f"tpu_seed{seed}"] = run_ours(train, test, args.epochs, hyper, models, seed)
+        results[f"reference_seed{seed}"] = run_reference(
+            train, test, args.epochs, hyper, models, seed, per_model_hyper=per_model_hyper)
+        results[f"tpu_seed{seed}"] = run_ours(
+            train, test, args.epochs, hyper, models, seed, per_model_hyper=per_model_hyper)
     results["reference"] = results[f"reference_seed{seeds[0]}"]
     results["tpu"] = results[f"tpu_seed{seeds[0]}"]
 
