@@ -27,7 +27,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CFG = dict(B=512, L=100, D=128, N=15872, heads=4, blocks=2)
-STEPS = 30
+# per-slice unroll lengths are set in main() (hi, lo pairs)
 
 # v5e (TPU v5 lite) single-chip peaks
 PEAK_BF16 = 197e12
@@ -55,14 +55,16 @@ def _analytic_costs():
     attn_flops = 2 * B * H * L * L * (D // H) * 2
     blk_flops = proj_flops + ffn_flops + attn_flops
     towers_fwd_flops = BLK * blk_flops + N * D * 4  # + item tower LN-ish
-    score_f32 = B * H * L * L * 4
-    prob_bf16 = B * H * L * L * 2
+    # scores AND probs stream at the input precision since the r3 attention
+    # change (ops/attention.py _reference_attention / _xla_bwd_math)
+    score_b = B * H * L * L * 2
+    prob_b = B * H * L * L * 2
     blk_bytes = (
         4 * 2 * act          # projections read+write
         + 3 * act            # q,k,v into attention
-        + 2 * score_f32      # scores write+read (softmax)
-        + 2 * prob_bf16      # probs write+read (bf16 since r3)
-        + prob_bf16          # dropout mask materialized at prob dtype
+        + 2 * score_b        # scores write+read (input precision since r3)
+        + 2 * prob_b         # probs write+read (bf16 since r3)
+        + prob_b             # dropout mask materialized at prob dtype
         + 2 * 2 * act        # ffn read+write
         + 3 * 2 * act        # layernorms read+write
         + 3 * 2 * act        # residuals + elementwise dropout r/w
@@ -72,7 +74,7 @@ def _analytic_costs():
     # ---- towers fwd+bwd: backward re-streams ~2x the forward tensors and
     # the xla_attention recompute VJP re-materializes scores once more
     towers_fwdbwd_flops = 3 * towers_fwd_flops
-    towers_fwdbwd_bytes = 3 * towers_fwd_bytes + BLK * (2 * score_f32)
+    towers_fwdbwd_bytes = 3 * towers_fwd_bytes + BLK * (2 * score_b)
 
     # ---- loss (streaming-lse fwd + grads-from-z bwd), chunk=(256, 4096)
     items_bytes = N * D * 2
@@ -104,17 +106,36 @@ def _analytic_costs():
     }
 
 
-def _time(jitted, *args):
+def _fetch(out) -> float:
     import jax
 
-    for _ in range(2):
-        out = jitted(*args)
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    out = jitted(*args)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-    return (time.perf_counter() - t0) / STEPS
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
+def _time_diff(make_many, args, hi: int, lo: int, reps: int = 3) -> float:
+    """Per-step seconds as a two-length difference of UNROLLED chains.
+
+    `make_many(n)` returns a jitted function executing n data-chained
+    applications of the slice in ONE dispatch (straight-line HLO, no
+    lax.scan: the while-loop's per-iteration carry copies inflated small
+    slices ~6x — the flat Adam slice measured 0.95 ms under scan vs
+    0.15 ms dispatched directly). Timing (hi-step run) - (lo-step run)
+    cancels the dispatch + value-fetch round trip through the tunnel;
+    min over `reps` discards scheduling noise (additive, never negative).
+    """
+    f_hi, f_lo = make_many(hi), make_many(lo)
+    for f in (f_lo, f_hi):
+        _fetch(f(*args))
+        _fetch(f(*args))
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fetch(f_hi(*args))
+        t1 = time.perf_counter()
+        _fetch(f_lo(*args))
+        t2 = time.perf_counter()
+        best.append(((t1 - t0) - (t2 - t1)) / (hi - lo))
+    return min(best)
 
 
 def main() -> None:
@@ -150,68 +171,91 @@ def main() -> None:
         session_embs = module.encode_sessions(b, item_embs, deterministic=det)
         return session_embs, item_embs
 
-    def scan_of(body):
-        @jax.jit
-        def many(*args):
-            def sbody(c, i):
-                out = body(*args, i)
-                return c + jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32), None
-            c, _ = jax.lax.scan(sbody, jnp.zeros((), jnp.float32), jnp.arange(STEPS))
-            return c
-        return many
-
     slices = {}
 
-    def towers_fwd(p, b, i):
+    def towers_fwd_once(p, b, i):
         rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), i)}
         s_t, i_t = backbone.apply({"params": cast(p)}, b, method=towers, rngs=rngs)
         return (s_t.astype(jnp.float32).sum() + i_t.astype(jnp.float32).sum())
 
-    slices["towers_fwd"] = (scan_of(towers_fwd), (params, batch))
+    def make_towers_fwd(n):
+        @jax.jit
+        def many(p, b):
+            c = jnp.zeros((), jnp.float32)
+            for i in range(n):  # distinct dropout fold per i: no CSE
+                c = c + towers_fwd_once(p, b, i)
+            return c
+        return many
 
-    def towers_fwdbwd(p, b, i):
-        loss, grads = jax.value_and_grad(lambda p_: towers_fwd(p_, b, i))(p)
-        return loss + jax.tree.leaves(grads)[0].ravel()[0]
+    slices["towers_fwd"] = (make_towers_fwd, (params, batch), 24, 8)
 
-    slices["towers_fwdbwd"] = (scan_of(towers_fwdbwd), (params, batch))
+    def make_towers_fwdbwd(n):
+        @jax.jit
+        def many(p, b):
+            c = jnp.zeros((), jnp.float32)
+            for i in range(n):
+                loss, grads = jax.value_and_grad(lambda p_: towers_fwd_once(p_, b, i))(p)
+                c = c + loss + jax.tree.leaves(grads)[0].ravel()[0]
+            return c
+        return many
+
+    slices["towers_fwdbwd"] = (make_towers_fwdbwd, (params, batch), 12, 4)
 
     rngs0 = {"dropout": jax.random.PRNGKey(7)}
     s_t0, i_t0 = backbone.apply({"params": cast(params)}, batch, method=towers, rngs=rngs0)
 
-    def loss_fwdbwd(st, it, b, i):
-        def of(st_, it_):
-            return fused_softmax_loss(st_, it_, b["y"], b["yw"])
-        loss, (ds, di) = jax.value_and_grad(of, argnums=(0, 1))(st, it)
-        return loss + ds.astype(jnp.float32).ravel()[0] + di.astype(jnp.float32).ravel()[0]
+    def make_loss_fwdbwd(n):
+        @jax.jit
+        def many(st, it, b):
+            c = jnp.zeros((), jnp.float32)
+            for _ in range(n):
+                def of(st_, it_):
+                    return fused_softmax_loss(st_, it_, b["y"], b["yw"])
+                loss, (ds, di) = jax.value_and_grad(of, argnums=(0, 1))(st, it)
+                c = c + loss
+                st = st + (0.0 * ds).astype(st.dtype)  # data-chain the iterations
+            return c
+        return many
 
-    slices["loss_fwdbwd"] = (scan_of(loss_fwdbwd), (s_t0, i_t0, batch))
+    slices["loss_fwdbwd"] = (make_loss_fwdbwd, (s_t0, i_t0, batch), 12, 4)
 
     grads0 = jax.tree.map(jnp.ones_like, params)
 
-    def adam(g, o, p, i):
-        upd, o2 = tx.update(g, o, p)
-        p2 = optax.apply_updates(p, upd)
-        return jax.tree.leaves(p2)[0].ravel()[0] + jax.tree.leaves(o2)[0].ravel()[0] * 0
+    def make_adam(n):
+        @jax.jit
+        def many(g, o, p):
+            c = jnp.zeros((), jnp.float32)
+            for _ in range(n):  # (p, o) chain through every update: no CSE
+                upd, o = tx.update(g, o, p)
+                p = optax.apply_updates(p, upd)
+            return c + jax.tree.leaves(p)[0].ravel()[0]
+        return many
 
-    slices["adam"] = (scan_of(adam), (grads0, opt_state, params))
+    slices["adam"] = (make_adam, (grads0, opt_state, params), 96, 24)
 
-    def full(p, o, b, i):
-        def of(p_):
-            rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), i)}
-            s_t, i_t = backbone.apply({"params": cast(p_)}, b, method=towers, rngs=rngs)
-            return fused_softmax_loss(s_t, i_t, b["y"], b["yw"])
-        loss, grads = jax.value_and_grad(of)(p)
-        upd, o2 = tx.update(grads, o, p)
-        p2 = optax.apply_updates(p, upd)
-        return loss + jax.tree.leaves(p2)[0].ravel()[0] * 0
+    def make_full(n):
+        @jax.jit
+        def many(p, o, b):
+            c = jnp.zeros((), jnp.float32)
+            for i in range(n):  # real training chain: p/o evolve each step
+                def of(p_):
+                    rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(7), i)}
+                    s_t, i_t = backbone.apply({"params": cast(p_)}, b, method=towers, rngs=rngs)
+                    return fused_softmax_loss(s_t, i_t, b["y"], b["yw"])
+                loss, grads = jax.value_and_grad(of)(p)
+                upd, o = tx.update(grads, o, p)
+                p = optax.apply_updates(p, upd)
+                c = c + loss
+            return c
+        return many
 
-    slices["full_step"] = (scan_of(full), (params, opt_state, batch))
+    slices["full_step"] = (make_full, (params, opt_state, batch), 10, 4)
 
     rows = {}
     costs = _analytic_costs()
-    for name, (jitted, args) in slices.items():
+    for name, (make_many, args, hi, lo) in slices.items():
         flops, bytes_ = costs[name]
-        dt = _time(jitted, *args)
+        dt = _time_diff(make_many, args, hi, lo)
         flop_bound_s = flops / PEAK_BF16
         byte_bound_s = bytes_ / PEAK_BW
         bound = "compute" if flop_bound_s >= byte_bound_s else "memory"
