@@ -40,6 +40,62 @@ DEFAULT_CHUNK_N = 2048
 _NEG_BIG = -1e30
 
 
+# second accumulation window offset: window-1 covers bound gaps g in [0, ~64]
+# at full f32 relative precision, window-2 (terms pre-multiplied by e^64
+# INSIDE the exp argument) extends exact coverage to g ~ 128; beyond that
+# both windows flush to zero and the lse comes out -inf — loud, not silent.
+_WINDOW2_OFFSET = 64.0
+
+
+def _lse_shift_kernel(s_ref, items_ref, shift_ref, l_ref, l2_ref, *, n_valid, chunk_n, j_last):
+    """Fixed-shift streaming sumexp: one dependency-free sweep per chunk.
+
+    The flash-style running max costs ~45% of the forward at recsys shapes —
+    not the exp itself but the SERIALIZATION it forces (the max-reduce over
+    the tile must retire before the exp pass can start, so the VPU runs two
+    dependent sweeps; measured 2.84 ms vs 1.57 ms without the max at
+    M=51k, N=16k, D=128). This kernel instead shifts by a PRECOMPUTED
+    per-row upper bound (Cauchy-Schwarz: ||s_row|| * max_i ||item_i||, one
+    cheap fused XLA pass outside). Terms are exp of values <= 0, so no
+    overflow is possible; f32 keeps full RELATIVE precision however loose
+    the bound is, until flush-to-zero at e^-87. The second accumulator
+    collects the same terms scaled by e^64 (still overflow-safe: each term
+    <= e^64, a chunk row-sum <= 2048 * e^64 ~ 1e31 << f32 max), pushing the
+    flush horizon to bound gaps of ~128 — far beyond any sanely-scaled
+    embedding (a gap g means max |logit| >= g). The caller selects per row:
+    window 1 while its sum stays comfortably normal, else window 2.
+
+    Items arrive UNPADDED (tail chunk iota-masked like _lse_fwd_tail_kernel);
+    the shift input is whole-array resident — one DMA, indexed by m-block.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        l_ref[...] = jnp.zeros_like(l_ref[...])
+        l2_ref[...] = jnp.zeros_like(l2_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    shifted = logits - shift_ref[i, 0][:, None]
+
+    def _accumulate(sh):
+        l_ref[0, 0] += jnp.sum(jnp.exp(sh), axis=1)
+        l2_ref[0, 0] += jnp.sum(jnp.exp(sh + _WINDOW2_OFFSET), axis=1)
+
+    @pl.when(j < j_last)
+    def _full_chunk():
+        _accumulate(shifted)
+
+    @pl.when(j == j_last)
+    def _masked_tail():
+        cols = jax.lax.broadcasted_iota(jnp.int32, shifted.shape, 1)
+        _accumulate(jnp.where(cols < n_valid - j_last * chunk_n, shifted, _NEG_BIG))
+
+
 def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
     """(m-block i, item-chunk j) program: flash-style running logsumexp.
 
@@ -206,7 +262,7 @@ def _prepare(sessions, items, row_bias, block_m, chunk_n):
     return s_pad, items_pad, bias_pad.reshape(n_chunks, 1, chunk_n), n_m, n_chunks
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def streaming_lse(
     sessions: jnp.ndarray,  # (M, D)
     items: jnp.ndarray,  # (N, D)
@@ -214,18 +270,58 @@ def streaming_lse(
     block_m: int = DEFAULT_BLOCK_M,
     chunk_n: int = DEFAULT_CHUNK_N,
     interpret: bool = False,
+    bounded_shift: bool = False,
 ) -> jnp.ndarray:
-    """logsumexp_j(sessions @ items.T + row_bias)[m] as one fused reduction."""
-    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret)
+    """logsumexp_j(sessions @ items.T + row_bias)[m] as one fused reduction.
+
+    ``bounded_shift=True`` selects the dependency-free fixed-shift kernel
+    (_lse_shift_kernel): ~45% faster forward, exact while the Cauchy-Schwarz
+    bound gap stays under ~125 (i.e. max |logit| under ~125 — any trained
+    recommender), and LOUDLY -inf beyond. The default runs the flash-style
+    running-max kernels, exact at any scale.
+    """
+    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_shift)
     return lse
 
 
-def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret):
+def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_shift=False):
     m_rows, d = sessions.shape
     out_spec = [pl.BlockSpec((1, 1, block_m), lambda i, j: (i, 0, 0))] * 2
 
+    if row_bias is None and bounded_shift:
+        # fast path: fixed-shift one-pass kernel (see _lse_shift_kernel);
+        # per-row branch-free selection between the two accumulation windows
+        s_pad = _pad_rows(sessions, block_m)
+        n_m = s_pad.shape[0] // block_m
+        n_valid = items.shape[0]
+        n_chunks = -(-n_valid // chunk_n)
+        item_max_norm = jnp.sqrt(jnp.max(jnp.sum(jnp.square(items.astype(jnp.float32)), axis=1)))
+        shift = jnp.sqrt(jnp.sum(jnp.square(s_pad.astype(jnp.float32)), axis=1)) * item_max_norm
+        shift3 = shift.reshape(n_m, 1, block_m)
+        l_run, l2_run = pl.pallas_call(
+            partial(_lse_shift_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
+            grid=(n_m, n_chunks),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),  # shift resident
+            ],
+            out_specs=out_spec,
+            out_shape=[jax.ShapeDtypeStruct((n_m, 1, block_m), jnp.float32)] * 2,
+            interpret=interpret,
+        )(s_pad, items, shift3)
+        # window 1 while its sum is comfortably normal (>= e^-20: flushed
+        # tail terms then contribute < N * e^-87 / e^-20 ~ e^-57 relative);
+        # otherwise window 2 (same terms scaled e^64 inside the exp)
+        lse = jnp.where(
+            l_run >= 2.061e-9,
+            shift3 + jnp.log(l_run),
+            (shift3 - _WINDOW2_OFFSET) + jnp.log(l2_run),
+        )
+        return lse.reshape(-1)[:m_rows]
+
     if row_bias is None:
-        # tail mode: unpadded items, final chunk iota-masked in-kernel
+        # exact tail mode: unpadded items, final chunk iota-masked in-kernel
         s_pad = _pad_rows(sessions, block_m)
         n_m = s_pad.shape[0] // block_m
         n_valid = items.shape[0]
@@ -262,8 +358,8 @@ def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret):
     return (m_run + jnp.log(l_run)).reshape(-1)[:m_rows]
 
 
-def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret):
-    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret)
+def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_shift):
+    lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_shift)
     return lse, (sessions, items, row_bias, lse)
 
 
@@ -272,7 +368,7 @@ def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret):
 _FUSED_BWD_PARTIALS_BUDGET = 512 * 1024 * 1024
 
 
-def _streaming_lse_bwd(block_m, chunk_n, interpret, residuals, dlse):
+def _streaming_lse_bwd(block_m, chunk_n, interpret, bounded_shift, residuals, dlse):
     sessions, items, row_bias, lse = residuals
     m_rows, d = sessions.shape
     n_valid = items.shape[0]

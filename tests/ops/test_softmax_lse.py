@@ -23,6 +23,19 @@ class TestStreamingLse:
         expected = reference_lse(sessions, items)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
 
+    @pytest.mark.parametrize("scale", [1.0, 1.5])
+    def test_bounded_shift_matches_reference(self, scale) -> None:
+        # bounded_shift: the dependency-free fixed-shift kernel the training
+        # CE loss opts into; exact while the Cauchy-Schwarz bound gap stays
+        # under ~125. scale=1.0 keeps every row in window 1 (gap ~36);
+        # scale=1.5 pushes gaps to ~80, exercising the window-2 selection.
+        # Beyond the contract (gap > ~125, i.e. max possible |logit| > 125 —
+        # a diverged model) the result is -inf, loud by design.
+        sessions, items = _inputs(256, 1024)
+        got = streaming_lse(sessions * scale, items * scale, None, 128, 512, True, True)
+        expected = reference_lse(sessions * scale, items * scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-6)
+
     def test_gradients_match_reference(self) -> None:
         sessions, items = _inputs(192, 700)
         dlse_seed = jnp.asarray(np.random.default_rng(1).normal(size=(192,)).astype(np.float32))
@@ -225,7 +238,11 @@ class TestFusedCePallasVjp:
 
         orig_lse, orig_gz = sl.streaming_lse, sl.softmax_grads_from_z
         monkeypatch.setattr(
-            sl, "streaming_lse", lambda s, i, b, bm, cn, interpret=False: orig_lse(s, i, b, bm, cn, True)
+            sl,
+            "streaming_lse",
+            lambda s, i, b, bm, cn, interpret=False, bounded_shift=False: orig_lse(
+                s, i, b, bm, cn, True, bounded_shift
+            ),
         )
         monkeypatch.setattr(
             sl, "softmax_grads_from_z", lambda s, i, z, bm, cn, interpret=False: orig_gz(s, i, z, bm, cn, True)
