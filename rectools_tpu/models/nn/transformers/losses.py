@@ -154,9 +154,7 @@ def _fused_ce_pallas(s2, items, y_flat, w_flat, block_m, chunk_n):
     """
     from ....ops.softmax_lse import streaming_lse
 
-    # bounded_shift: training logits are bounded by construction (a gap
-    # beyond ~125 means a diverged model); buys the dependency-free fwd kernel
-    lse = streaming_lse(s2, items, None, block_m, chunk_n, bounded_shift=True)
+    lse = streaming_lse(s2, items, None, block_m, chunk_n)
     loss, _, _ = _ce_pieces(s2, items, y_flat, w_flat, lse)
     return loss
 
@@ -164,7 +162,7 @@ def _fused_ce_pallas(s2, items, y_flat, w_flat, block_m, chunk_n):
 def _fused_ce_fwd(s2, items, y_flat, w_flat, block_m, chunk_n):
     from ....ops.softmax_lse import streaming_lse
 
-    lse = streaming_lse(s2, items, None, block_m, chunk_n, bounded_shift=True)
+    lse = streaming_lse(s2, items, None, block_m, chunk_n)
     loss, ce, denom = _ce_pieces(s2, items, y_flat, w_flat, lse)
     return loss, (s2, items, y_flat, w_flat, lse, ce, denom)
 

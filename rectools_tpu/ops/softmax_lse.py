@@ -276,9 +276,13 @@ def streaming_lse(
 
     ``bounded_shift=True`` selects the dependency-free fixed-shift kernel
     (_lse_shift_kernel): ~45% faster forward, exact while the Cauchy-Schwarz
-    bound gap stays under ~125 (i.e. max |logit| under ~125 — any trained
-    recommender), and LOUDLY -inf beyond. The default runs the flash-style
-    running-max kernels, exact at any scale.
+    bound GAP (||s_row|| * max_i ||item_i|| minus the row's true max logit)
+    stays under ~125, and LOUDLY -inf beyond. CAUTION — the gap scales with
+    the norms themselves for incoherent embeddings (gap ~ 0.7 * ||s||*||i||
+    for isotropic vectors), so large-d towers violate the contract at norms
+    well inside normal training (observed: NaN loss at the d=256 ml20m perf
+    config). Opt-in for callers that control their embedding scale; the
+    default runs the flash-style running-max kernels, exact at any scale.
     """
     lse = _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_shift)
     return lse
