@@ -689,23 +689,22 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
 
     # --------------------------------------------------------------- inference
 
-    def _get_user_item_embeddings(self, recommend_loader: BatchLoader) -> tp.Tuple[np.ndarray, np.ndarray]:
-        """Materialize user (last-position) and item tower outputs
-        (reference lightning.py:378-400). Dispatch-all-then-materialize so
-        batch round trips overlap (same pattern as ops/topk.py serving)."""
-        from ....utils.device_fetch import materialize_batches
-
+    def _get_user_item_embeddings(self, recommend_loader: BatchLoader) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+        """User (last-position) and item tower outputs, DEVICE-RESIDENT
+        (reference lightning.py:378-400 materializes tensors; here the
+        embeddings never leave the device — the downstream TPURanker
+        consumes jax arrays directly, so a recommend call pays exactly one
+        device->host fetch: the final top-k triplets. Profiled on hardware:
+        each avoided fetch is a full transport round trip)."""
         pending: tp.List[tp.Tuple[int, jnp.ndarray]] = []
         for batch in recommend_loader:
             n = batch["x"].shape[0]
             batch = pad_batch(batch, recommend_loader.batch_size)
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}  # recommend stays single-device
             pending.append((n, self._encode_last(self.params, device_batch)))
-        item_handle = self._catalog_item_tower(self.params)
-        fetched = materialize_batches([(embs,) for _, embs in pending])
-        user_embs = [embs_np[:n] for (n, _), (embs_np,) in zip(pending, fetched)]
-        item_embs = np.asarray(item_handle)
-        return np.concatenate(user_embs, axis=0), item_embs
+        item_embs = self._catalog_item_tower(self.params)
+        user_embs = jnp.concatenate([embs[:n] for n, embs in pending], axis=0)
+        return user_embs, item_embs
 
     def recommend_u2i(
         self,
@@ -739,7 +738,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
     ) -> InternalRecoTriplet:
         """I2I: cosine ranking over raw item-net embeddings
         (reference lightning.py:428-449)."""
-        item_embs = np.asarray(self._catalog_item_embs(self.params))
+        item_embs = self._catalog_item_embs(self.params)  # stays on device
         ranker = TPURanker(
             distance=self.i2i_dist,
             subjects_factors=item_embs,

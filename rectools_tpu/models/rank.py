@@ -19,6 +19,12 @@ if tp.TYPE_CHECKING:  # pragma: no cover
 __all__ = ["Distance", "Ranker", "TPURanker"]
 
 
+def _is_jax_array(x: tp.Any) -> bool:
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
 class Ranker(tp.Protocol):
     """Protocol: batched top-k ranking returning flattened sorted triplets."""
 
@@ -51,7 +57,13 @@ class TPURanker:
     ) -> None:
         self.distance = distance
         self.subjects_factors = subjects_factors
-        self.objects_factors = np.asarray(objects_factors, dtype=np.float32)
+        # device-resident (jax) factor matrices pass through untouched — the
+        # engine pads/gathers them with XLA ops; np.asarray here would force
+        # a device->host round trip per recommend call
+        if _is_jax_array(objects_factors):
+            self.objects_factors: tp.Any = objects_factors
+        else:
+            self.objects_factors = np.asarray(objects_factors, dtype=np.float32)
         self.batch_size = batch_size
         self.mesh = mesh
 
@@ -67,8 +79,10 @@ class TPURanker:
             raise ValueError("Number of rows in `filter_pairs_csr` must match `subject_ids` length")
         if self.mesh is not None:
             return rank_topk_sharded(
-                subjects=self.subjects_factors,
-                objects=self.objects_factors,
+                subjects=np.asarray(self.subjects_factors, dtype=np.float32)
+                if not sparse.issparse(self.subjects_factors)
+                else self.subjects_factors,
+                objects=np.asarray(self.objects_factors, dtype=np.float32),
                 subject_ids=subject_ids,
                 k=k,
                 mesh=self.mesh,

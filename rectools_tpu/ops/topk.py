@@ -306,15 +306,24 @@ class TopKEngine:
         self.recall_target = recall_target
         self.n_objects, self.dim = objects.shape
         self.batch_size = batch_size
-        objects = np.asarray(objects, dtype=np.float32)
-        if distance == Distance.COSINE:
-            objects = _normalize_rows(objects)
         n_pad = max(128, int(math.ceil(self.n_objects / 128)) * 128)
-        padded = np.zeros((n_pad, self.dim), dtype=np.float32)
-        padded[: self.n_objects] = objects
         store_dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
-        self._objects_t = jax.device_put(jnp.asarray(padded.T, dtype=store_dtype).astype(jnp.float32))
-        self._obj_norm_sq = jax.device_put(jnp.sum(self._objects_t**2, axis=0))
+        if isinstance(objects, jax.Array):
+            # device-resident objects (e.g. transformer item towers) stay on
+            # device: pad/normalize/transpose are XLA ops, no host round trip
+            obj = objects.astype(jnp.float32)
+            if distance == Distance.COSINE:
+                obj = obj / jnp.maximum(jnp.linalg.norm(obj, axis=1, keepdims=True), 1e-12)
+            padded_dev = jnp.zeros((n_pad, self.dim), jnp.float32).at[: self.n_objects].set(obj)
+            self._objects_t = padded_dev.T.astype(store_dtype).astype(jnp.float32)
+        else:
+            objects = np.asarray(objects, dtype=np.float32)
+            if distance == Distance.COSINE:
+                objects = _normalize_rows(objects)
+            padded = np.zeros((n_pad, self.dim), dtype=np.float32)
+            padded[: self.n_objects] = objects
+            self._objects_t = jax.device_put(jnp.asarray(padded.T, dtype=store_dtype).astype(jnp.float32))
+        self._obj_norm_sq = jnp.sum(self._objects_t**2, axis=0)
         self._n_valid = jnp.int32(self.n_objects)
         self._n_pad = n_pad
 
@@ -348,8 +357,11 @@ class TopKEngine:
         via `materialize`."""
         b = subjects.shape[0]
         b_pad = _next_pow2(b, minimum=8)
-        sub = np.zeros((b_pad, self.dim), dtype=np.float32)
-        sub[:b] = subjects
+        if isinstance(subjects, jax.Array):
+            sub = jnp.zeros((b_pad, self.dim), jnp.float32).at[:b].set(subjects.astype(jnp.float32))
+        else:
+            sub = np.zeros((b_pad, self.dim), dtype=np.float32)
+            sub[:b] = subjects
         if seen_idx is None:
             seen = np.full((b_pad, 8), self._n_pad + 1, dtype=np.int32)
         else:
@@ -443,7 +455,11 @@ def rank_topk(
     item-item similarity table for EASE / kNN); rows are densified per batch.
     ``filter_pairs_csr`` rows must align with ``subject_ids`` positions.
     """
-    if sorted_object_whitelist is not None:
+    if isinstance(objects, jax.Array):
+        # device-resident objects: the whitelist gather is an XLA op and the
+        # engine keeps the block on device — no host round trip
+        object_block: tp.Any = objects[sorted_object_whitelist] if sorted_object_whitelist is not None else objects
+    elif sorted_object_whitelist is not None:
         object_block = np.asarray(objects[sorted_object_whitelist], dtype=np.float32)
     else:
         object_block = np.asarray(objects, dtype=np.float32)
@@ -467,7 +483,9 @@ def rank_topk(
         batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
         batch_subject_ids = subject_ids[batch_pos]
         if is_sparse_subjects:
-            sub_block = np.asarray(subjects[batch_subject_ids].todense(), dtype=np.float32)
+            sub_block: tp.Any = np.asarray(subjects[batch_subject_ids].todense(), dtype=np.float32)
+        elif isinstance(subjects, jax.Array):
+            sub_block = subjects[batch_subject_ids]  # device gather, stays on device
         else:
             sub_block = np.asarray(subjects[batch_subject_ids], dtype=np.float32)
 

@@ -5,6 +5,7 @@ import pytest
 from scipy import sparse
 
 from rectools_tpu.models.rank import Distance, TPURanker
+from rectools_tpu.ops.topk import rank_topk
 
 
 def brute_force_rank(subjects, objects, subject_ids, k, distance, filter_csr=None, whitelist=None):
@@ -195,3 +196,45 @@ class TestChunkedTopK:
         assert chunk is not None
         assert engine._n_pad % chunk == 0
         assert chunk % 128 == 0
+
+
+class TestDeviceResidentFactors:
+    """jax-array subjects/objects rank identically to the numpy path and
+    never leave the device on the way into the engine (the serving path for
+    transformer towers)."""
+
+    @pytest.mark.parametrize("distance", [Distance.DOT, Distance.COSINE])
+    def test_rank_topk_jax_inputs_match_numpy(self, distance) -> None:
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        subjects = rng.normal(size=(37, 16)).astype(np.float32)
+        objects = rng.normal(size=(250, 16)).astype(np.float32)
+        subject_ids = np.arange(37)
+        whitelist = np.sort(rng.choice(250, size=120, replace=False))
+        seen = sparse.random(37, 250, density=0.05, format="csr", random_state=3)
+        seen.data[:] = 1.0
+
+        ref = rank_topk(subjects, objects, subject_ids, 9, distance,
+                        filter_pairs_csr=seen.tocsr(), sorted_object_whitelist=whitelist)
+        dev = rank_topk(jnp.asarray(subjects), jnp.asarray(objects), subject_ids, 9, distance,
+                        filter_pairs_csr=seen.tocsr(), sorted_object_whitelist=whitelist)
+        np.testing.assert_array_equal(ref[0], dev[0])
+        np.testing.assert_array_equal(ref[1], dev[1])
+        np.testing.assert_allclose(ref[2], dev[2], atol=1e-5)
+
+    def test_engine_jax_objects_match_numpy(self) -> None:
+        import jax.numpy as jnp
+
+        from rectools_tpu.ops.topk import TopKEngine
+
+        rng = np.random.default_rng(8)
+        objects = rng.normal(size=(300, 8)).astype(np.float32)
+        subjects = rng.normal(size=(5, 8)).astype(np.float32)
+        e_np = TopKEngine(objects, distance=Distance.COSINE)
+        e_dev = TopKEngine(jnp.asarray(objects), distance=Distance.COSINE)
+        idx1, sc1, v1 = e_np.query_batch(subjects, 7)
+        idx2, sc2, v2 = e_dev.query_batch(jnp.asarray(subjects), 7)
+        np.testing.assert_array_equal(idx1, idx2)
+        np.testing.assert_allclose(sc1, sc2, atol=1e-5)
+        np.testing.assert_array_equal(v1, v2)
