@@ -16,31 +16,37 @@ class LastNSplitter(Splitter):
     """Last-n interactions per user per fold, stable order for tied datetimes
     (reference last_n_split.py:27-160).
 
+    Three users with interleaved histories (user 9 interacts exactly once):
+
     >>> import pandas as pd
     >>> df = pd.DataFrame(
-    ...     [
-    ...         [1, 1, 1, "2021-09-01"],
-    ...         [1, 2, 1, "2021-09-02"],
-    ...         [1, 1, 1, "2021-09-03"],
-    ...         [1, 2, 1, "2021-09-04"],
-    ...         [1, 2, 1, "2021-09-05"],
-    ...         [2, 1, 1, "2021-08-20"],
-    ...         [2, 2, 1, "2021-08-21"],
-    ...         [2, 2, 1, "2021-08-22"],
-    ...     ],
-    ...     columns=[Columns.User, Columns.Item, Columns.Weight, Columns.Datetime],
-    ... ).astype({Columns.Datetime: "datetime64[ns]"})
+    ...     {
+    ...         Columns.User: [7, 8, 7, 9, 8, 7],
+    ...         Columns.Item: [101, 102, 103, 101, 103, 102],
+    ...         Columns.Weight: [1.0] * 6,
+    ...         Columns.Datetime: pd.to_datetime(
+    ...             ["2024-03-01", "2024-03-02", "2024-03-03",
+    ...              "2024-03-04", "2024-03-05", "2024-03-06"]
+    ...         ),
+    ...     }
+    ... )
     >>> interactions = Interactions(df)
-    >>> splitter = LastNSplitter(2, 2, False, False, False)
-    >>> for train_ids, test_ids, _ in splitter.split(interactions):
-    ...     print(train_ids, test_ids)
-    [0] [1 2 5]
-    [0 1 2 5] [3 4 6 7]
-    >>> splitter = LastNSplitter(2, 2, True, False, False)
-    >>> for train_ids, test_ids, _ in splitter.split(interactions):
+
+    Two leave-one-out folds, no filtering — each fold's test set holds one
+    interaction per user (user 9 only ever appears in the newest fold):
+
+    >>> for train_ids, test_ids, _ in LastNSplitter(1, 2, False, False, False).split(interactions):
     ...     print(train_ids, test_ids)
     [0] [1 2]
-    [0 1 2 5] [3 4 6 7]
+    [0 1 2] [3 4 5]
+
+    With ``filter_cold_users=True`` test rows of users absent from the fold's
+    train part are dropped (user 8 in fold one, user 9 in fold two):
+
+    >>> for train_ids, test_ids, _ in LastNSplitter(1, 2, True, False, False).split(interactions):
+    ...     print(train_ids, test_ids)
+    [0] [2]
+    [0 1 2] [4 5]
     """
 
     def __init__(

@@ -32,24 +32,21 @@ class Popularity(Enum):
     SUM_WEIGHT = "sum_weight"
 
 
-def _deserialize_timedelta(td: tp.Any) -> tp.Any:
-    if isinstance(td, dict):
-        return timedelta(**td)
-    return td
+def _timedelta_from_json(value: tp.Any) -> tp.Any:
+    """Accept a timedelta as-is, or rebuild one from its JSON dict form."""
+    return timedelta(**value) if isinstance(value, dict) else value
 
 
-def _serialize_timedelta(td: timedelta) -> dict:
-    return {
-        key: value
-        for key, value in {"days": td.days, "seconds": td.seconds, "microseconds": td.microseconds}.items()
-        if value != 0
-    }
+def _timedelta_to_json(td: timedelta) -> dict:
+    """JSON form of a timedelta: its nonzero normalized components only."""
+    parts = (("days", td.days), ("seconds", td.seconds), ("microseconds", td.microseconds))
+    return {name: amount for name, amount in parts if amount}
 
 
 TimeDelta = tpe.Annotated[
     timedelta,
-    BeforeValidator(func=_deserialize_timedelta),
-    PlainSerializer(func=_serialize_timedelta, return_type=dict, when_used="json"),
+    BeforeValidator(func=_timedelta_from_json),
+    PlainSerializer(func=_timedelta_to_json, return_type=dict, when_used="json"),
 ]
 
 
