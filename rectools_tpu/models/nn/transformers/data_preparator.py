@@ -72,6 +72,14 @@ class SequenceDataset:
 
         items = interactions[Columns.Item].to_numpy()[final_order]
         weights = interactions[Columns.Weight].to_numpy(dtype=np.float32)[final_order]
+        if weights.size and float(weights.min()) < 0:
+            # the fused CE backward folds log(weight) into its shift, so a
+            # negative sample weight would poison every gradient with NaN —
+            # reject it here, once, where the check is free (losses.py contract)
+            raise ValueError(
+                "Interaction weights must be non-negative for transformer training; "
+                f"found min weight {float(weights.min())}."
+            )
         counts = np.bincount(codes, minlength=len(uniq))
         indptr = np.concatenate(([0], np.cumsum(counts)))
 

@@ -78,11 +78,15 @@ class TPURanker:
         if filter_pairs_csr is not None and filter_pairs_csr.shape[0] != len(subject_ids):
             raise ValueError("Number of rows in `filter_pairs_csr` must match `subject_ids` length")
         if self.mesh is not None:
+            # device-resident factors pass through: the sharded engine
+            # reshards them over the mesh with XLA ops (one fetch per
+            # recommend holds on the multichip serving path too)
+            subjects = self.subjects_factors
+            if not (sparse.issparse(subjects) or _is_jax_array(subjects)):
+                subjects = np.asarray(subjects, dtype=np.float32)
             return rank_topk_sharded(
-                subjects=np.asarray(self.subjects_factors, dtype=np.float32)
-                if not sparse.issparse(self.subjects_factors)
-                else self.subjects_factors,
-                objects=np.asarray(self.objects_factors, dtype=np.float32),
+                subjects=subjects,
+                objects=self.objects_factors,
                 subject_ids=subject_ids,
                 k=k,
                 mesh=self.mesh,

@@ -313,7 +313,12 @@ class TopKEngine:
             # device: pad/normalize/transpose are XLA ops, no host round trip
             obj = objects.astype(jnp.float32)
             if distance == Distance.COSINE:
-                obj = obj / jnp.maximum(jnp.linalg.norm(obj, axis=1, keepdims=True), 1e-12)
+                # same semantics as the host `_normalize_rows`: zero-norm rows
+                # stay zero, tiny nonzero norms divide exactly (no clamp), so
+                # rankings don't depend on whether factors arrive as jax or
+                # numpy arrays
+                norms = jnp.linalg.norm(obj, axis=1, keepdims=True)
+                obj = obj / jnp.where(norms == 0, 1.0, norms)
             padded_dev = jnp.zeros((n_pad, self.dim), jnp.float32).at[: self.n_objects].set(obj)
             self._objects_t = padded_dev.T.astype(store_dtype).astype(jnp.float32)
         else:

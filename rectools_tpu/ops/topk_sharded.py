@@ -112,16 +112,26 @@ class ShardedTopKEngine:
         self.n_data = mesh.shape[DATA_AXIS]
         self.n_model = mesh.shape[MODEL_AXIS]
 
-        objects = np.asarray(objects, dtype=np.float32)
-        if distance == Distance.COSINE:
-            objects = _normalize_rows(objects)
         # Even shards of lane-aligned tiles: pad N to a multiple of 128*n_model.
         n_pad = pad_to_multiple(max(self.n_objects, 128), 128 * self.n_model)
-        padded = np.zeros((n_pad, self.dim), dtype=np.float32)
-        padded[: self.n_objects] = objects
         obj_sharding = NamedSharding(mesh, P(None, MODEL_AXIS))
-        self._objects_t = jax.device_put(jnp.asarray(padded.T), obj_sharding)
-        norm_sq = jnp.sum(jnp.asarray(padded.T) ** 2, axis=0)
+        if isinstance(objects, jax.Array):
+            # device-resident object tables (e.g. transformer item towers)
+            # reshard device->device: pad/normalize are XLA ops, no host fetch
+            obj = objects.astype(jnp.float32)
+            if distance == Distance.COSINE:
+                norms = jnp.linalg.norm(obj, axis=1, keepdims=True)
+                obj = obj / jnp.where(norms == 0, 1.0, norms)
+            padded_t = jnp.zeros((n_pad, self.dim), jnp.float32).at[: self.n_objects].set(obj).T
+        else:
+            objects = np.asarray(objects, dtype=np.float32)
+            if distance == Distance.COSINE:
+                objects = _normalize_rows(objects)
+            padded = np.zeros((n_pad, self.dim), dtype=np.float32)
+            padded[: self.n_objects] = objects
+            padded_t = jnp.asarray(padded.T)
+        self._objects_t = jax.device_put(padded_t, obj_sharding)
+        norm_sq = jnp.sum(padded_t**2, axis=0)
         self._obj_norm_sq = jax.device_put(norm_sq, NamedSharding(mesh, P(MODEL_AXIS)))
         self._n_valid = jnp.int32(self.n_objects)
         self._n_pad = n_pad
@@ -165,8 +175,12 @@ class ShardedTopKEngine:
         # Batch must split evenly over the data axis; pad rows are dummy
         # queries whose outputs are sliced off.
         b_pad = pad_to_multiple(_next_pow2(b, minimum=8), self.n_data)
-        sub = np.zeros((b_pad, self.dim), dtype=np.float32)
-        sub[:b] = subjects
+        if isinstance(subjects, jax.Array):
+            sub = jnp.zeros((b_pad, self.dim), jnp.float32).at[:b].set(subjects.astype(jnp.float32))
+        else:
+            sub_np = np.zeros((b_pad, self.dim), dtype=np.float32)
+            sub_np[:b] = subjects
+            sub = jnp.asarray(sub_np)
         fill = self._n_pad + 1
         if seen_idx is None:
             seen = np.full((b_pad, 8), fill, dtype=np.int32)
@@ -176,7 +190,7 @@ class ShardedTopKEngine:
             seen[:b, : seen_idx.shape[1]] = np.where(seen_idx >= 0, seen_idx, fill)
         k_eff = min(k, self.n_objects)
         return self._get_kernel(k_eff)(
-            jnp.asarray(sub), self._objects_t, jnp.asarray(seen),
+            sub, self._objects_t, jnp.asarray(seen),
             self._obj_norm_sq, self._n_valid,
         )
 
@@ -210,8 +224,11 @@ def rank_topk_sharded(
     """Mesh-parallel version of ``ops.topk.rank_topk`` with the same triplet
     contract (reference rank/rank.py:36-64). Whitelists are applied by
     gathering the object block before sharding, seen-filtering by global id
-    inside the kernel."""
-    if sorted_object_whitelist is not None:
+    inside the kernel. Device-resident (jax) factor matrices stay on device
+    throughout — gathers/pads are XLA ops, never a host round trip."""
+    if isinstance(objects, jax.Array):
+        object_block: tp.Any = objects[sorted_object_whitelist] if sorted_object_whitelist is not None else objects
+    elif sorted_object_whitelist is not None:
         object_block = np.asarray(objects[sorted_object_whitelist], dtype=np.float32)
     else:
         object_block = np.asarray(objects, dtype=np.float32)
@@ -230,7 +247,9 @@ def rank_topk_sharded(
         batch_pos = np.arange(start, min(start + batch_size, len(subject_ids)))
         batch_subject_ids = subject_ids[batch_pos]
         if is_sparse_subjects:
-            sub_block = np.asarray(subjects[batch_subject_ids].todense(), dtype=np.float32)
+            sub_block: tp.Any = np.asarray(subjects[batch_subject_ids].todense(), dtype=np.float32)
+        elif isinstance(subjects, jax.Array):
+            sub_block = subjects[batch_subject_ids]  # device gather, no host fetch
         else:
             sub_block = np.asarray(subjects[batch_subject_ids], dtype=np.float32)
 

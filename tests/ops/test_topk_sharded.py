@@ -54,6 +54,25 @@ class TestShardedTopK:
         np.testing.assert_array_equal(ref[1], got[1])
         np.testing.assert_allclose(ref[2], got[2], rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("distance", [Distance.DOT, Distance.COSINE])
+    def test_device_resident_factors_match_host(self, data, mesh, distance) -> None:
+        """jax-array subjects/objects (the multichip transformer serving path)
+        must rank identically to the numpy path — including degenerate
+        zero-norm rows under COSINE."""
+        import jax.numpy as jnp
+
+        objects, subjects, ids, seen = data
+        objects = objects.copy()
+        objects[7] = 0.0  # zero-norm row: host and device normalization must agree
+        ref = rank_topk_sharded(subjects, objects, ids, k=10, mesh=mesh, distance=distance, filter_pairs_csr=seen)
+        got = rank_topk_sharded(
+            jnp.asarray(subjects), jnp.asarray(objects), ids, k=10, mesh=mesh,
+            distance=distance, filter_pairs_csr=seen,
+        )
+        np.testing.assert_array_equal(ref[0], got[0])
+        np.testing.assert_array_equal(ref[1], got[1])
+        np.testing.assert_allclose(ref[2], got[2], rtol=1e-5, atol=1e-5)
+
     def test_pure_model_axis_mesh(self, data) -> None:
         objects, subjects, ids, seen = data
         mesh = make_mesh(n_data=1, n_model=8)
