@@ -5,26 +5,32 @@ length 100, d=128, 15,872-item catalog (KION has 15,706 items), dropout 0.2,
 full-catalog softmax loss (the reference's default and its compute-dominant
 path, O(B*L*n_items*d) logits — reference similarity.py:84-86), Adam.
 
-Measured config: the framework's documented recommended TPU training config
-— ``compute_dtype="bfloat16"`` (training.py:104,159-164; docs/performance.md)
-with f32 master weights and f32 softmax statistics. The loss runs through
-the streaming-logsumexp Pallas kernel with the loss-level VJP
-(ops/softmax_lse.py, losses._fused_ce_pallas); attention takes the
-shape-dispatched XLA path with the recompute VJP (ops/attention.py).
+Measured config: the framework's OUT-OF-THE-BOX default. Transformer models
+ship ``compute_dtype="auto"`` (training.py), which resolves to bf16 compute
+with f32 master weights and f32 softmax statistics on TPU hardware (exact
+f32 on any other backend; quality drift pinned by
+tests/models/nn/transformers/test_bf16_drift.py and documented in
+docs/tpu_performance_guide.md). This script mirrors that default step
+one-to-one — the dtype it casts to is asserted equal to the resolved
+default at runtime. The loss runs through the streaming-logsumexp Pallas
+kernel with the loss-level VJP (ops/softmax_lse.py,
+losses._fused_ce_pallas); attention takes the shape-dispatched XLA path
+with the recompute VJP (ops/attention.py).
 
 Output fields:
 - ``value``: measured examples/s on one chip (host-fetch timed: on remote
   transports `block_until_ready` can acknowledge before execution finishes,
   so only a value round trip is trustworthy).
 - ``vs_baseline``: the reference throughput bar this is judged against —
-  11,971.07 examples/s, the comparison point recorded in BENCH_r02.json and
-  used by the round-2 review as the baseline ("value / vs_baseline >= 3x").
-  It is a GPU-class estimate for the reference's torch implementation at
-  this exact workload. The in-process torch-CPU reference (the substrate
-  users without CUDA actually get; it materializes the 3.25 GB logits
-  tensor) measures ~2.97 examples/s here — run `python bench.py --with-torch`
-  to re-measure it; that comparison is ~12,000x and is reported in
-  PERF_r03.md, not in this line.
+  11,971.07 examples/s. Provenance, plainly: this number ORIGINATED as the
+  round-2 measured speedup RATIO (35,512.22 jax examples/s divided by the
+  ~2.97 examples/s the reference's torch-CPU substrate measures on this
+  workload) and was adopted as the throughput bar by the round-2 review
+  ("value / vs_baseline >= 3x", BENCH_r02.json). No GPU measurement of the
+  reference exists in this environment; the only measured reference point
+  is torch-CPU (it materializes the 3.25 GB logits tensor) — run
+  `python bench.py --with-torch` to re-measure it. That comparison is
+  ~12,000x and is reported in PERF_r03.md, not in this line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -47,7 +53,8 @@ DROPOUT = 0.2
 WARMUP_STEPS, BENCH_STEPS = 3, 50
 TORCH_BENCH_STEPS = 5
 
-# The reference bar recorded in BENCH_r02.json (see module docstring).
+# The reference bar adopted by the round-2 review (see module docstring for
+# its provenance: r02 measured ratio repurposed as a throughput bar).
 BASELINE_EPS = 11971.07
 
 
@@ -59,6 +66,17 @@ def bench_jax() -> float:
 
     from __graft_entry__ import _build_flagship
     from rectools_tpu.models.nn.transformers.losses import fused_softmax_loss
+
+    # the measured dtype must BE the out-of-the-box default on this backend
+    # (compute_dtype="auto" -> bf16 on TPU): fail loudly if they ever diverge
+    assert jax.default_backend() == "tpu", "headline bench must run on the TPU chip"
+    from rectools_tpu.models.nn.transformers.training import TransformerTrainingModule
+
+    import inspect
+
+    resolved = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    sig_default = inspect.signature(TransformerTrainingModule.__init__).parameters["compute_dtype"].default
+    assert sig_default == "auto" and resolved == "bfloat16", (sig_default, resolved)
 
     backbone = _build_flagship(
         n_items=N_ITEMS, session_max_len=L, n_factors=D, n_heads=HEADS, n_blocks=BLOCKS,

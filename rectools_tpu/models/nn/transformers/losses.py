@@ -16,6 +16,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# (block_m, chunk_n) the streaming-lse CE uses at narrow feature dims (d<=128):
+# (512, 4096) swept fastest end-to-end with the partials fwd kernel on v5e
+# (45.8k ex/s vs 44.2k at (256, 4096), median-of-5 — PERF_r04)
+_NARROW_D_TILING = (512, 4096)
+
 
 def softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """CE over catalog. logits (B, L, N); y (B, L) int targets; w (B, L) weights.
@@ -86,6 +91,11 @@ def fused_softmax_loss(
     Elsewhere an XLA chunk scan with `jax.checkpoint` gives the same value
     and gradients with O(B*L*chunk) peak memory. Pad-ignore and weighting
     semantics match `softmax_loss` exactly.
+
+    Contract: sample weights ``w`` must be non-negative — the fused backward
+    computes ``log(w * |g|)``, so a negative weight would NaN every gradient.
+    `SequenceDataset.from_interactions` enforces this once at data-preparation
+    time; callers feeding custom weights must uphold it.
     """
     b, length, d = session_towers.shape
     n = item_towers.shape[0]
@@ -101,9 +111,9 @@ def fused_softmax_loss(
 
         # wider item chunks amortize the streaming better but grow the
         # per-program VMEM probability tile; at narrow feature dims the
-        # (256, 4096) tiling measured fastest for both fwd and bwd on v5e
-        # (1.48 / 4.75 ms at KION scale; see /tmp-sweep notes in PERF_r03)
-        block_m, chunk_n = (256, 4096) if d <= 128 else (DEFAULT_BLOCK_M, DEFAULT_CHUNK_N)
+        # tiling below measured fastest for fwd+bwd combined on v5e
+        # (sweeps in PERF_r03/PERF_r04)
+        block_m, chunk_n = _NARROW_D_TILING if d <= 128 else (DEFAULT_BLOCK_M, DEFAULT_CHUNK_N)
         return _fused_ce_pallas(s2, item_towers, y.reshape(-1), w.reshape(-1), block_m, chunk_n)
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk

@@ -101,7 +101,7 @@ class TransformerTrainingModuleBase:
         logits_t: float = 1,
         seed: int = 0,
         mesh_shape: tp.Optional[tp.Tuple[int, int]] = None,
-        compute_dtype: str = "float32",
+        compute_dtype: str = "auto",
         negatives_on_device: bool = True,
         fused_softmax_chunk: tp.Optional[int] = 2048,
         callbacks: tp.Optional[tp.Sequence["TrainingCallback"]] = None,
@@ -158,9 +158,12 @@ class TransformerTrainingModuleBase:
         self._mesh = None
         # "bfloat16" runs the forward/backward matmuls in the MXU's native
         # precision while master weights and the loss stay float32 (the
-        # mixed-precision recipe); "float32" is exact parity mode.
-        if compute_dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', got {compute_dtype}")
+        # mixed-precision recipe); "float32" is exact parity mode. The
+        # default "auto" resolves per backend: bf16 on TPU (the documented
+        # recommended config — gate-scale quality drift is pinned by
+        # tests/models/nn/transformers/test_bf16_drift.py), f32 elsewhere.
+        if compute_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'auto', 'float32' or 'bfloat16', got {compute_dtype}")
         self.compute_dtype = compute_dtype
         self.model_config = model_config
         self.dataset_schema = dataset_schema
@@ -253,12 +256,20 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             and type(sim).catalog_loss_towers is not SimilarityModuleBase.catalog_loss_towers
         )
 
+    @property
+    def resolved_compute_dtype(self) -> str:
+        """The dtype ``compute_dtype='auto'`` resolves to on this backend:
+        bf16 on TPU hardware, exact f32 anywhere else."""
+        if self.compute_dtype == "auto":
+            return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        return self.compute_dtype
+
     def _fused_softmax_loss_value(
         self, params: Params, batch: tp.Dict[str, jnp.ndarray], dropout_rng: tp.Optional[jax.Array]
     ) -> jnp.ndarray:
         deterministic = dropout_rng is None
         rngs = None if deterministic else {"dropout": dropout_rng}
-        if self.compute_dtype == "bfloat16":
+        if self.resolved_compute_dtype == "bfloat16":
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
             )
@@ -279,7 +290,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         # preferred_element_type, so the dominant (B*L, N) logit product runs
         # at MXU bf16 peak while the logsumexp itself is exact f32. Only the
         # temperature scale is applied at the working precision.
-        work_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        work_dtype = jnp.bfloat16 if self.resolved_compute_dtype == "bfloat16" else jnp.float32
         s_t = (s_t.astype(jnp.float32) / self.logits_t).astype(work_dtype)
         i_t = i_t.astype(work_dtype)
 
@@ -343,7 +354,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
         """Forward pass -> logits / logits_t (reference lightning.py:301-309)."""
         deterministic = dropout_rng is None
         rngs = None if deterministic else {"dropout": dropout_rng}
-        if self.compute_dtype == "bfloat16":
+        if self.resolved_compute_dtype == "bfloat16":
             # half-precision compute, f32 master weights: grads flow through
             # the cast back to the f32 tree
             params = jax.tree.map(

@@ -96,12 +96,15 @@ def _lse_shift_kernel(s_ref, items_ref, shift_ref, l_ref, l2_ref, *, n_valid, ch
         _accumulate(jnp.where(cols < n_valid - j_last * chunk_n, shifted, _NEG_BIG))
 
 
-def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
+def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref, *, bias_resident=True):
     """(m-block i, item-chunk j) program: flash-style running logsumexp.
 
-    General form: caller-supplied additive per-item bias (whole array resident
-    in VMEM — one DMA total, indexed by chunk; a per-program (1, 1, chunk)
-    block spec would re-DMA every program and cost ~2.5 ms at KION scale).
+    General form: caller-supplied additive per-item bias. Below
+    ``_BIAS_RESIDENT_BUDGET`` the whole bias array is VMEM-resident (one DMA
+    total, indexed by chunk — a per-program (1, 1, chunk) spec would re-DMA
+    every program and cost ~2.5 ms at KION scale); above it (multi-million-
+    item catalogs where residency would blow VMEM) each program DMAs only its
+    own chunk.
     """
     j = pl.program_id(1)
 
@@ -113,7 +116,7 @@ def _lse_fwd_kernel(s_ref, items_ref, rowbias_ref, m_ref, l_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[j, 0][None, :]  # (block_m, chunk_n); invalid rows -> -1e30
+    ) + rowbias_ref[j if bias_resident else 0, 0][None, :]  # (block_m, chunk_n); invalid rows -> -1e30
 
     m_old = m_ref[0, 0]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
@@ -158,12 +161,54 @@ def _lse_fwd_tail_kernel(s_ref, items_ref, m_ref, l_ref, *, n_valid, chunk_n, j_
         _update(jnp.where(cols < n_valid - j_last * chunk_n, logits, _NEG_BIG))
 
 
-def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
+# default fwd kernel for the row_bias=None path; False = the classic
+# carry-in-revisited-block kernel (kept for A/B measurement)
+_USE_PARTIALS_FWD = True
+
+
+def _lse_fwd_partials_kernel(s_ref, items_ref, m_ref, l_ref, *, n_valid, chunk_n, j_last):
+    """Per-chunk (max, sumexp) partials with the DMA-optimal grid order.
+
+    The classic kernel's flash carry forces the chunk axis to be the fastest
+    grid dimension, which re-DMAs the ENTIRE item table once per session
+    block (~864 MB/step at KION scale — measured 2.5 ms for the bare matmul
+    vs its 1.06 ms compute bound). Emitting independent per-chunk partials
+    removes the carry, so the grid can run (chunk slow, m-block fast): the
+    item chunk's block index is constant across consecutive programs and
+    stays VMEM-resident, cutting HBM traffic to one session-table pass per
+    chunk (~210 MB). The (n_chunks, M) partials are combined by a trivial
+    XLA logsumexp over the chunk axis — exact at any logit scale, same
+    numerics class as the classic flash reduction.
+    """
+    j = pl.program_id(0)
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def _partials(lg):
+        m_j = jnp.max(lg, axis=1)
+        m_ref[0, 0, 0] = m_j
+        l_ref[0, 0, 0] = jnp.sum(jnp.exp(lg - m_j[:, None]), axis=1)
+
+    @pl.when(j < j_last)
+    def _full_chunk():
+        _partials(logits)
+
+    @pl.when(j == j_last)
+    def _masked_tail():
+        cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        _partials(jnp.where(cols < n_valid - j_last * chunk_n, logits, _NEG_BIG))
+
+
+def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref, *, bias_resident=True):
     """ds = dlse * softmax @ items, accumulated over item chunks.
 
     Small per-row inputs (bias, lse, dlse) are whole-array resident blocks
     indexed by grid position — per-program (1, 1, n) block specs would issue
-    a tiny DMA every program and dominate the kernel at recsys shapes.
+    a tiny DMA every program and dominate the kernel at recsys shapes. The
+    bias alone falls back to per-chunk DMA above _BIAS_RESIDENT_BUDGET.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -175,7 +220,7 @@ def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[j, 0][None, :]
+    ) + rowbias_ref[j if bias_resident else 0, 0][None, :]
     p = jnp.exp(logits - lse_ref[i, 0][:, None])
     weighted = p * dlse_ref[i, 0][:, None]
     # accumulator stays f32 across chunks (bf16 += would round each step);
@@ -186,7 +231,7 @@ def _dsessions_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, ds_ref):
     )
 
 
-def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, dsp_ref):
+def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, dsp_ref, *, bias_resident=True):
     """One (item-chunk j, m-block i) program emitting BOTH gradients.
 
     The probability tile is computed once per (i, j) instead of once per
@@ -208,7 +253,7 @@ def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, 
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[j, 0][None, :]
+    ) + rowbias_ref[j if bias_resident else 0, 0][None, :]
     pw = jnp.exp(logits - lse_ref[i, 0][:, None]) * dlse_ref[i, 0][:, None]
     pw_op = pw.astype(s_ref.dtype)  # MXU runs at the input precision; f32 accumulation below
     dsp_ref[0, ...] = jnp.dot(pw_op, items_ref[...], preferred_element_type=jnp.float32)
@@ -218,7 +263,7 @@ def _bwd_fused_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, 
     )
 
 
-def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
+def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref, *, bias_resident=True):
     """d(items) = softmax^T @ (dlse * sessions), accumulated over m-blocks."""
     j = pl.program_id(0)
     i = pl.program_id(1)  # m-block index (fast axis -> consecutive revisits)
@@ -230,7 +275,7 @@ def _ditems_kernel(s_ref, items_ref, rowbias_ref, lse_ref, dlse_ref, di_ref):
     logits = jax.lax.dot_general(
         s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + rowbias_ref[j, 0][None, :]
+    ) + rowbias_ref[j if bias_resident else 0, 0][None, :]
     p = jnp.exp(logits - lse_ref[i, 0][:, None])
     weighted_s = s_ref[...].astype(jnp.float32) * dlse_ref[i, 0][:, None]
     # match operand precision to the input dtype (f32 accumulation either way)
@@ -260,6 +305,23 @@ def _prepare(sessions, items, row_bias, block_m, chunk_n):
     n_m = s_pad.shape[0] // block_m
     n_chunks = items_pad.shape[0] // chunk_n
     return s_pad, items_pad, bias_pad.reshape(n_chunks, 1, chunk_n), n_m, n_chunks
+
+
+# whole-bias VMEM residency cap: one DMA total and chunk-indexed reads below
+# it; above it (multi-million-item catalogs on the sharded full-softmax path,
+# where O(N) f32 resident would fail to compile) each program DMAs its chunk
+_BIAS_RESIDENT_BUDGET = 8 * 1024 * 1024  # bytes of f32 bias (2M items)
+
+
+def _bias_spec(n_chunks: int, chunk_n: int, j_of_grid, bias3) -> tp.Tuple[tp.Any, bool]:
+    """(BlockSpec, bias_resident) for a bias3 of shape (n_chunks, 1, chunk_n).
+
+    ``j_of_grid`` maps the kernel grid coordinates to the item-chunk index
+    (grids differ in axis order between the fwd and bwd kernels).
+    """
+    if bias3.size * 4 <= _BIAS_RESIDENT_BUDGET:
+        return pl.BlockSpec((n_chunks, 1, chunk_n), lambda *g: (0, 0, 0)), True
+    return pl.BlockSpec((1, 1, chunk_n), lambda *g: (j_of_grid(*g), 0, 0)), False
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -330,6 +392,25 @@ def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_sh
         n_m = s_pad.shape[0] // block_m
         n_valid = items.shape[0]
         n_chunks = -(-n_valid // chunk_n)
+        if _USE_PARTIALS_FWD:
+            # DMA-optimal order: chunk slow / m-block fast, item chunk
+            # VMEM-resident across m-blocks (see _lse_fwd_partials_kernel)
+            m_part, l_part = pl.pallas_call(
+                partial(_lse_fwd_partials_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
+                grid=(n_chunks, n_m),
+                in_specs=[
+                    pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+                    pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, 1, 1, block_m), lambda j, i: (j, i, 0, 0))] * 2,
+                out_shape=[jax.ShapeDtypeStruct((n_chunks, n_m, 1, block_m), jnp.float32)] * 2,
+                interpret=interpret,
+            )(s_pad, items)
+            # logsumexp-combine over the chunk axis: (n_chunks, M) floats,
+            # negligible next to the kernel
+            m_all = jnp.max(m_part, axis=0)
+            l_all = jnp.sum(l_part * jnp.exp(m_part - m_all[None]), axis=0)
+            return (m_all + jnp.log(l_all)).reshape(-1)[:m_rows]
         m_run, l_run = pl.pallas_call(
             partial(_lse_fwd_tail_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
             grid=(n_m, n_chunks),
@@ -344,13 +425,14 @@ def _lse_call(sessions, items, row_bias, block_m, chunk_n, interpret, bounded_sh
         return (m_run + jnp.log(l_run)).reshape(-1)[:m_rows]
 
     s_pad, items_pad, bias3, n_m, n_chunks = _prepare(sessions, items, row_bias, block_m, chunk_n)
+    bias_spec, bias_resident = _bias_spec(n_chunks, chunk_n, lambda i, j: j, bias3)
     m_run, l_run = pl.pallas_call(
-        _lse_fwd_kernel,
+        partial(_lse_fwd_kernel, bias_resident=bias_resident),
         grid=(n_m, n_chunks),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((n_chunks, 1, chunk_n), lambda i, j: (0, 0, 0)),  # whole bias resident
+            bias_spec,
         ],
         out_specs=out_spec,
         out_shape=[
@@ -382,15 +464,16 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, bounded_shift, residuals, dl
     dlse_pad = jnp.pad(dlse.astype(jnp.float32), (0, s_pad.shape[0] - m_rows)).reshape(n_m, 1, block_m)
 
     d_bias = None if row_bias is None else jnp.zeros_like(row_bias)
+    bias_spec_ji, bias_resident = _bias_spec(n_chunks, chunk_n, lambda j, i: j, bias3)
     partials_bytes = n_chunks * s_pad.shape[0] * d * 4
     if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:
         di, ds_partials = pl.pallas_call(
-            _bwd_fused_kernel,
+            partial(_bwd_fused_kernel, bias_resident=bias_resident),
             grid=(n_chunks, n_m),
             in_specs=[
                 pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
                 pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-                pl.BlockSpec((n_chunks, 1, chunk_n), lambda j, i: (0, 0, 0)),
+                bias_spec_ji,
                 pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
                 pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
             ],
@@ -407,13 +490,14 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, bounded_shift, residuals, dl
         ds = ds_partials.sum(axis=0)
         return ds[:m_rows].astype(sessions.dtype), di[:n_valid].astype(items.dtype), d_bias
 
+    bias_spec_ij, _ = _bias_spec(n_chunks, chunk_n, lambda i, j: j, bias3)
     ds = pl.pallas_call(
-        _dsessions_kernel,
+        partial(_dsessions_kernel, bias_resident=bias_resident),
         grid=(n_m, n_chunks),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((n_chunks, 1, chunk_n), lambda i, j: (0, 0, 0)),
+            bias_spec_ij,
             pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((n_m, 1, block_m), lambda i, j: (0, 0, 0)),
         ],
@@ -423,12 +507,12 @@ def _streaming_lse_bwd(block_m, chunk_n, interpret, bounded_shift, residuals, dl
     )(s_pad, items_pad, bias3, lse_pad, dlse_pad)
 
     di = pl.pallas_call(
-        _ditems_kernel,
+        partial(_ditems_kernel, bias_resident=bias_resident),
         grid=(n_chunks, n_m),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
             pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((n_chunks, 1, chunk_n), lambda j, i: (0, 0, 0)),
+            bias_spec_ji,
             pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
             pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0)),
         ],

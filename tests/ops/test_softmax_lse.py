@@ -64,6 +64,48 @@ class TestStreamingLse:
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-2, rtol=3e-3)
 
 
+class TestPartialsKernel:
+    """The default fwd kernel emits per-chunk (max, sumexp) partials in the
+    DMA-optimal grid order and combines them in XLA — exact at any scale."""
+
+    def test_matches_classic_kernel_exactly(self, monkeypatch) -> None:
+        import rectools_tpu.ops.softmax_lse as sl
+
+        sessions, items = _inputs(96, 500)
+        partials = streaming_lse(sessions, items, None, 64, 128, True)
+        monkeypatch.setattr(sl, "_USE_PARTIALS_FWD", False)
+        classic = streaming_lse(sessions, items, None, 64, 128, True)
+        np.testing.assert_allclose(np.asarray(partials), np.asarray(classic), rtol=1e-6)
+
+    def test_large_upward_max_jump_stays_exact(self) -> None:
+        # last chunk holds a logit ~400 above every earlier chunk's max
+        rng = np.random.default_rng(3)
+        d = 32
+        sessions = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+        items = rng.normal(scale=0.1, size=(256, d)).astype(np.float32)
+        items[200] = 400.0 * np.asarray(sessions[0] / np.linalg.norm(sessions[0]) ** 2)
+        items = jnp.asarray(items)
+        got = streaming_lse(sessions, items, None, 8, 64, True)
+        expected = reference_lse(sessions, items)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5)
+
+    def test_downward_chunks_exact(self) -> None:
+        # later chunks far BELOW the running max exercise the underflow side
+        rng = np.random.default_rng(5)
+        d = 16
+        sessions = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+        items = np.concatenate(
+            [
+                rng.normal(scale=3.0, size=(64, d)),
+                rng.normal(scale=0.001, size=(192, d)),
+            ]
+        ).astype(np.float32)
+        got = streaming_lse(sessions, jnp.asarray(items), None, 4, 64, True)
+        expected = reference_lse(sessions, jnp.asarray(items))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+
 class TestRowBiasAndSharding:
     def test_row_bias_excludes_rows(self) -> None:
         sessions, items = _inputs(64, 300)
@@ -71,6 +113,30 @@ class TestRowBiasAndSharding:
         got = streaming_lse(sessions, items, bias, 64, 128, True)
         expected = reference_lse(sessions, items[:200])
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-6)
+
+    def test_bias_nonresident_path_matches(self, monkeypatch) -> None:
+        """Above _BIAS_RESIDENT_BUDGET the bias switches to per-chunk DMA
+        blocks; value and both gradients must be identical to the resident
+        spec (same sums, different data movement)."""
+        import rectools_tpu.ops.softmax_lse as sl
+
+        sessions, items = _inputs(64, 300)
+        bias = jnp.asarray(np.random.default_rng(5).normal(size=(300,)).astype(np.float32))
+        dl = jnp.asarray(np.random.default_rng(6).normal(size=(64,)).astype(np.float32))
+
+        def loss(s, i):
+            return jnp.sum(streaming_lse(s, i, bias, 64, 128, True) * dl)
+
+        resident_val = loss(sessions, items)
+        resident_grads = jax.grad(loss, argnums=(0, 1))(sessions, items)
+
+        monkeypatch.setattr(sl, "_BIAS_RESIDENT_BUDGET", 0)
+        chunked_val = loss(sessions, items)
+        chunked_grads = jax.grad(loss, argnums=(0, 1))(sessions, items)
+
+        np.testing.assert_allclose(np.asarray(chunked_val), np.asarray(resident_val), rtol=1e-6)
+        for a, b in zip(chunked_grads, resident_grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
 
     def test_sharded_matches_dense(self) -> None:
         import pytest as _pytest
