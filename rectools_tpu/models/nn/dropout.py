@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.attention import _GOLDEN_I32, _dropout_threshold, _fmix32
+from ...ops.attention import _GOLDEN_I32, _dropout_threshold, _fmix32, _mix32_fast
 
 
 def _key_words(key: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +39,10 @@ def hash_keep_mask(key: jnp.ndarray, shape: tp.Tuple[int, ...], rate: float) -> 
     salt = words[0] ^ (words[1] * np.int32(40503))
     n = int(np.prod(shape))
     pos = jnp.arange(n, dtype=jnp.int32).reshape(shape)
-    bits = _fmix32((pos * _GOLDEN_I32 + salt).astype(jnp.uint32))
+    # single-multiply finalizer: threshold compares are decided by the high
+    # bits, which the golden-ratio position multiply + one finalizer multiply
+    # avalanche sufficiently (see ops.attention._mix32_fast)
+    bits = _mix32_fast((pos * _GOLDEN_I32 + salt).astype(jnp.uint32))
     return bits >= _dropout_threshold(rate)
 
 

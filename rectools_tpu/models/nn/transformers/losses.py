@@ -180,7 +180,7 @@ def _fused_ce_fwd(s2, items, y_flat, w_flat, block_m, chunk_n):
 def _fused_ce_bwd(block_m, chunk_n, residuals, g):
     import numpy as np
 
-    from ....ops.softmax_lse import softmax_grads_from_z
+    from ....ops.softmax_lse import softmax_ce_grads_from_z
 
     s2, items, y_flat, w_flat, lse, ce, denom = residuals
     g = jnp.asarray(g, jnp.float32)
@@ -189,12 +189,11 @@ def _fused_ce_bwd(block_m, chunk_n, residuals, g):
     gsgn = jnp.sign(g)
     cg = c * jnp.abs(g)
     z = lse - jnp.log(cg)  # c == 0 -> z = +inf -> that row's softmax grads vanish
-    ds_z, di_z = softmax_grads_from_z(s2, items, z, block_m, chunk_n)
-    coeff = (gsgn * cg)[:, None]  # = g * c
-    ds = gsgn * ds_z - coeff * items[y_flat].astype(jnp.float32)
-    di = gsgn * di_z - jax.ops.segment_sum(
-        coeff * s2.astype(jnp.float32), y_flat, num_segments=items.shape[0]
-    )
+    # the (P - coeff*onehot(y)) label correction runs inside the kernel:
+    # no items[y] gather, no segment_sum scatter over the catalog
+    ds_c, di_c = softmax_ce_grads_from_z(s2, items, z, y_flat, cg, block_m, chunk_n)
+    ds = gsgn * ds_c
+    di = gsgn * di_c
     dw = (g * ce / denom).astype(w_flat.dtype)
     dy = np.zeros(np.shape(y_flat), dtype=jax.dtypes.float0)
     return ds.astype(s2.dtype), di.astype(items.dtype), dy, dw

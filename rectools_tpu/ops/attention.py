@@ -50,6 +50,27 @@ def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _mix32_fast(h: jnp.ndarray) -> jnp.ndarray:
+    """Single-multiply finalizer for dropout thresholding.
+
+    int32 multiply is the expensive VPU op (emulated in multiple passes), and
+    the full murmur3 finalizer spends two of them per element on top of the
+    callers' position pre-multiply — dropout mask generation measured
+    ~0.7 ms/step at KION scale. A dropout KEEP decision only compares the
+    hash against a threshold, which is dominated by the HIGH bits, and the
+    high bits of ``x * C`` depend on every input bit — one finalizer multiply
+    (plus the callers' golden-ratio position multiply, which the adjacency
+    tests do require) passes the adjacency/row independence tests
+    (tests/models/nn/test_hash_dropout.py) at two thirds of the multiply
+    cost. Negative sampling keeps the full `_fmix32` (its draws use all
+    32 bits through a modulo).
+    """
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> np.uint32(15))
+    return h
+
+
 def _dropout_threshold(dropout_rate: float) -> np.uint32:
     return np.uint32(min(0xFFFFFFFF, int(round(dropout_rate * 4294967296.0))))
 
@@ -76,7 +97,7 @@ def dropout_keep_mask(
     pos = rows * np.int32(n_cols) + cols  # (n_rows, n_cols) int32
     salt = seed + bh_index * np.int32(40503)  # scalar-ish; (1,) in the XLA path
     mixed = pos * _GOLDEN_I32 + salt * np.int32(0x01000193)
-    bits = _fmix32(mixed.astype(jnp.uint32))
+    bits = _mix32_fast(mixed.astype(jnp.uint32))
     return (bits >= _dropout_threshold(dropout_rate)).astype(jnp.float32)
 
 

@@ -621,6 +621,120 @@ def _grads_z_fused_kernel(s_ref, items_ref, z_ref, di_ref, dsp_ref, *, n_valid, 
         _emit(pw, jnp.where(rows < tail_valid, items_ref[...], 0))
 
 
+def _ce_grads_z_fused_kernel(
+    s_ref, items_ref, z_ref, y_ref, coeff_ref, di_ref, dsp_ref, *, n_valid, chunk_n, j_last
+):
+    """_grads_z_fused_kernel with the CE label correction fused in.
+
+    The softmax-CE gradient is ``(P - coeff * onehot(y)) `` applied to both
+    matmuls. Folding the one-hot into the probability tile as an iota
+    compare (col == y[m]) removes the host-side ``items[y]`` gather and the
+    ``segment_sum`` scatter-add over the catalog that the unfused backward
+    needed — the scatter serializes on TPU and cost more than both gradient
+    matmuls combined at KION scale.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)  # m-block index (fast axis -> consecutive di revisits)
+
+    @pl.when(i == 0)
+    def _init():
+        di_ref[...] = jnp.zeros_like(di_ref[...])
+
+    logits = jax.lax.dot_general(
+        s_ref[...], items_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrow = z_ref[i, 0]
+    # label one-hot for this chunk: columns are global ids [j*chunk, ...);
+    # applied as ONE select on the probability tile (no delta tile buffer)
+    local_y = y_ref[i, 0] - j * chunk_n  # (block_m,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+
+    def _corrected(pw):
+        return jnp.where(cols == local_y[:, None], pw - coeff_ref[i, 0][:, None], pw)
+
+    def _emit(pw, items):
+        pw = pw.astype(s_ref.dtype)
+        dsp_ref[0, ...] = jnp.dot(pw, items, preferred_element_type=jnp.float32).astype(
+            dsp_ref.dtype
+        )
+        di_ref[...] += jax.lax.dot_general(
+            pw, s_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j < j_last)
+    def _full_chunk():
+        _emit(_corrected(jnp.exp(logits - zrow[:, None])), items_ref[...])
+
+    @pl.when(j == j_last)
+    def _masked_tail():
+        tail_valid = n_valid - j_last * chunk_n
+        pw = jnp.where(cols < tail_valid, _corrected(jnp.exp(logits - zrow[:, None])), 0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, items_ref.shape, 0)
+        _emit(pw, jnp.where(rows < tail_valid, items_ref[...], 0))
+
+
+def softmax_ce_grads_from_z(
+    sessions: jnp.ndarray,  # (M, D)
+    items: jnp.ndarray,  # (N, D)
+    z: jnp.ndarray,  # (M,) f32: lse - log(row cotangent magnitude), +inf = ignore row
+    y: jnp.ndarray,  # (M,) int32 label ids; rows with coeff == 0 are ignored
+    coeff: jnp.ndarray,  # (M,) f32 nonnegative row cotangent magnitude (= exp(lse - z))
+    block_m: int = DEFAULT_BLOCK_M,
+    chunk_n: int = DEFAULT_CHUNK_N,
+    interpret: bool = False,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ds, di) = ((P - D) @ items, (P - D)^T @ sessions) with
+    P = exp(sessions @ items^T - z), D = coeff * onehot(y) — the full
+    softmax-CE backward in one fused kernel (see _ce_grads_z_fused_kernel)."""
+    m_rows, d = sessions.shape
+    n_valid = items.shape[0]
+    s_pad = _pad_rows(sessions, block_m)
+    n_m = s_pad.shape[0] // block_m
+    n_chunks = -(-n_valid // chunk_n)
+    pad_m = s_pad.shape[0] - m_rows
+    z3 = jnp.pad(z.astype(jnp.float32), (0, pad_m), constant_values=jnp.inf).reshape(n_m, 1, block_m)
+    # padded rows: coeff 0 -> their delta vanishes (y value is then irrelevant)
+    y3 = jnp.pad(y.astype(jnp.int32), (0, pad_m)).reshape(n_m, 1, block_m)
+    c3 = jnp.pad(coeff.astype(jnp.float32), (0, pad_m)).reshape(n_m, 1, block_m)
+    part_dtype = sessions.dtype if sessions.dtype == jnp.bfloat16 else jnp.float32
+
+    partials_bytes = n_chunks * s_pad.shape[0] * d * jnp.dtype(part_dtype).itemsize
+    if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:
+        row_spec = pl.BlockSpec((n_m, 1, block_m), lambda j, i: (0, 0, 0))
+        di, ds_partials = pl.pallas_call(
+            partial(_ce_grads_z_fused_kernel, n_valid=n_valid, chunk_n=chunk_n, j_last=n_chunks - 1),
+            grid=(n_chunks, n_m),
+            in_specs=[
+                pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                row_spec,  # z resident
+                row_spec,  # y resident
+                row_spec,  # coeff resident
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk_n, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((1, block_m, d), lambda j, i: (j * n_m + i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chunks * chunk_n, d), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * n_m, block_m, d), part_dtype),
+            ],
+            interpret=interpret,
+        )(s_pad, items, z3, y3, c3)
+        ds = ds_partials.reshape(n_chunks, s_pad.shape[0], d).astype(jnp.float32).sum(axis=0)
+        return ds[:m_rows], di[:n_valid]
+
+    # very-large-catalog fallback: plain grads + explicit label correction
+    # (the gather/scatter cost is acceptable where the partials are not)
+    ds_z, di_z = softmax_grads_from_z(sessions, items, z, block_m, chunk_n, interpret)
+    coeff_col = coeff.astype(jnp.float32)[:, None]
+    ds = ds_z - coeff_col * items[y].astype(jnp.float32)
+    di = di_z - jax.ops.segment_sum(coeff_col * sessions.astype(jnp.float32), y, num_segments=n_valid)
+    return ds, di
+
+
 def _ds_z_kernel(s_ref, items_ref, z_ref, ds_ref):
     """Split fallback: padded items (zero rows annihilate their ds term)."""
     i = pl.program_id(0)

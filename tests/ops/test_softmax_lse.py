@@ -293,6 +293,39 @@ class TestSoftmaxGradsFromZ:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
 
 
+class TestSoftmaxCeGradsFromZ:
+    """The fully-fused CE backward: (P - coeff*onehot(y)) applied in-kernel."""
+
+    @pytest.mark.parametrize("m,n", [(300, 1500), (64, 100), (100, 333)])
+    def test_matches_dense_math(self, m, n) -> None:
+        from rectools_tpu.ops.softmax_lse import softmax_ce_grads_from_z
+
+        rng = np.random.default_rng(7)
+        sessions, items = _inputs(m, n)
+        z = reference_lse(sessions, items) + 0.25
+        y = jnp.asarray(rng.integers(0, n, size=(m,)), jnp.int32)
+        coeff = jnp.asarray(rng.uniform(0, 1, size=(m,)).astype(np.float32)).at[:3].set(0.0)
+        ds, di = softmax_ce_grads_from_z(sessions, items, z, y, coeff, 128, 512, True)
+        p = jnp.exp(jnp.einsum("md,nd->mn", sessions, items) - z[:, None])
+        pc = p - coeff[:, None] * jax.nn.one_hot(y, n)
+        np.testing.assert_allclose(np.asarray(ds), np.asarray(pc @ items), rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(di), np.asarray(pc.T @ sessions), rtol=2e-5, atol=1e-5)
+
+    def test_split_fallback_matches_fused(self, monkeypatch) -> None:
+        import rectools_tpu.ops.softmax_lse as sl
+
+        rng = np.random.default_rng(8)
+        sessions, items = _inputs(128, 700)
+        z = reference_lse(sessions, items) + 0.1
+        y = jnp.asarray(rng.integers(0, 700, size=(128,)), jnp.int32)
+        coeff = jnp.asarray(rng.uniform(0, 1, size=(128,)).astype(np.float32))
+        fused = sl.softmax_ce_grads_from_z(sessions, items, z, y, coeff, 64, 256, True)
+        monkeypatch.setattr(sl, "_FUSED_BWD_PARTIALS_BUDGET", 0)
+        split = sl.softmax_ce_grads_from_z(sessions, items, z, y, coeff, 64, 256, True)
+        for a, b in zip(fused, split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+
+
 class TestFusedCePallasVjp:
     """Loss-level VJP: value and all gradients match the dense XLA softmax CE,
     including a negated upstream cotangent (scalar sign folding)."""
@@ -312,6 +345,12 @@ class TestFusedCePallasVjp:
         )
         monkeypatch.setattr(
             sl, "softmax_grads_from_z", lambda s, i, z, bm, cn, interpret=False: orig_gz(s, i, z, bm, cn, True)
+        )
+        orig_ce_gz = sl.softmax_ce_grads_from_z
+        monkeypatch.setattr(
+            sl,
+            "softmax_ce_grads_from_z",
+            lambda s, i, z, y, c, bm, cn, interpret=False: orig_ce_gz(s, i, z, y, c, bm, cn, True),
         )
         rng = np.random.default_rng(0)
         b, length, d, n = 4, 7, 16, 50
