@@ -13,6 +13,13 @@ class LightningModule(torch.nn.Module):
     def log(self, *args, **kwargs):
         pass
 
+    @property
+    def device(self):
+        try:
+            return next(self.parameters()).device
+        except StopIteration:
+            return torch.device("cpu")
+
 
 class Callback:
     pass
