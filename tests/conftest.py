@@ -28,3 +28,29 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:  # pragma: no cover - config name drift
     pass
+
+
+# Enforce the `timeout` marker (pyproject declares it; no plugin installed):
+# SIGALRM interrupts a hung test at its declared bound instead of hanging CI.
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    seconds = int(marker.args[0]) if marker and marker.args else 0
+    if seconds > 0 and hasattr(signal, "SIGALRM"):
+        def _on_timeout(signum, frame):
+            raise TimeoutError(f"test exceeded its timeout marker ({seconds}s)")
+
+        previous = signal.signal(signal.SIGALRM, _on_timeout)
+        signal.alarm(seconds)
+        try:
+            yield
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, previous)
+    else:
+        yield
