@@ -449,9 +449,12 @@ class TransformerDataPreparatorBase:
         self, dataset: SequenceDataset, rows: np.ndarray
     ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Split val sessions into weight-0 history (inputs) and the first
-        weighted row (target). Returns (flat_input_values_mask_indices not
-        needed) -> (input_starts_like, ...) packaged as:
-        (inputs_padded_source tuple) — see callers."""
+        weighted row (target), all as flat CSR-of-sessions selections.
+
+        Returns ``(input_flat, input_seg, y, yw, target_flat)``: flat indices
+        + segment ids of the history rows (feed `_ragged_right_align`), the
+        per-session target item/weight, and the targets' flat indices (for
+        extras like unix_ts)."""
         starts = dataset.indptr[rows]
         lengths = dataset.lengths[rows]
         total = int(lengths.sum())

@@ -18,8 +18,11 @@ import jax.numpy as jnp
 
 # (block_m, chunk_n) the streaming-lse CE uses at narrow feature dims (d<=128):
 # (512, 4096) swept fastest end-to-end with the partials fwd kernel on v5e
-# (45.8k ex/s vs 44.2k at (256, 4096), median-of-5 — PERF_r04)
+# (45.8k ex/s vs 44.2k at (256, 4096), median-of-5 — PERF_r04). Under f32
+# inputs the backward's probability/select tiles double and (512, 4096)
+# exceeds the 16 MB scoped-VMEM stack, so f32 keeps the half-height block.
 _NARROW_D_TILING = (512, 4096)
+_NARROW_D_TILING_F32 = (256, 4096)
 
 
 def softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -113,7 +116,10 @@ def fused_softmax_loss(
         # per-program VMEM probability tile; at narrow feature dims the
         # tiling below measured fastest for fwd+bwd combined on v5e
         # (sweeps in PERF_r03/PERF_r04)
-        block_m, chunk_n = _NARROW_D_TILING if d <= 128 else (DEFAULT_BLOCK_M, DEFAULT_CHUNK_N)
+        if d <= 128:
+            block_m, chunk_n = _NARROW_D_TILING if s2.dtype == jnp.bfloat16 else _NARROW_D_TILING_F32
+        else:
+            block_m, chunk_n = DEFAULT_BLOCK_M, DEFAULT_CHUNK_N
         return _fused_ce_pallas(s2, item_towers, y.reshape(-1), w.reshape(-1), block_m, chunk_n)
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk

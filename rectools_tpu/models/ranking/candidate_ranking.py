@@ -104,13 +104,15 @@ class CandidateFeatureCollector:
     adds nothing (capability parity: reference candidate_ranking.py:240-296)."""
 
     # Overridable hooks; each returns a frame keyed on the column(s) it joins by.
-    def _get_user_features(self, users: ExternalIds, dataset: Dataset, fold_info: tp.Optional[tp.Dict[str, tp.Any]]) -> pd.DataFrame:
+    def _get_user_features(self, users: ExternalIds, dataset: Dataset, fold_info: tp.Optional[dict]) -> pd.DataFrame:
         return pd.DataFrame(columns=[Columns.User])
 
-    def _get_item_features(self, items: ExternalIds, dataset: Dataset, fold_info: tp.Optional[tp.Dict[str, tp.Any]]) -> pd.DataFrame:
+    def _get_item_features(self, items: ExternalIds, dataset: Dataset, fold_info: tp.Optional[dict]) -> pd.DataFrame:
         return pd.DataFrame(columns=[Columns.Item])
 
-    def _get_user_item_features(self, useritem: pd.DataFrame, dataset: Dataset, fold_info: tp.Optional[tp.Dict[str, tp.Any]]) -> pd.DataFrame:
+    def _get_user_item_features(
+        self, useritem: pd.DataFrame, dataset: Dataset, fold_info: tp.Optional[dict]
+    ) -> pd.DataFrame:
         return pd.DataFrame(columns=Columns.UserItem)
 
     def collect_features(
