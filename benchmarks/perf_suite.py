@@ -347,6 +347,8 @@ def run_tpu_suite():
     # cosine head (a different kernel path than the SASRec rows above)
     out["train_hstu_kion"] = bench_train(TRAIN_CONFIGS["kion"], arch="hstu")
     log(f"train_hstu_kion: {out['train_hstu_kion']}")
+    out["train_hstu_kion_bf16"] = bench_train(TRAIN_CONFIGS["kion"], compute_dtype="bfloat16", arch="hstu")
+    log(f"train_hstu_kion_bf16: {out['train_hstu_kion_bf16']}")
     out["attention_micro"] = bench_attention_micro()
     log(f"attention: {out['attention_micro']}")
     out["serving"] = bench_serving()

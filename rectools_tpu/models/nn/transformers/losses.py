@@ -196,8 +196,13 @@ def _fused_ce_bwd(block_m, chunk_n, residuals, g):
     cg = c * jnp.abs(g)
     z = lse - jnp.log(cg)  # c == 0 -> z = +inf -> that row's softmax grads vanish
     # the (P - coeff*onehot(y)) label correction runs inside the kernel:
-    # no items[y] gather, no segment_sum scatter over the catalog
-    ds_c, di_c = softmax_ce_grads_from_z(s2, items, z, y_flat, cg, block_m, chunk_n)
+    # no items[y] gather, no segment_sum scatter over the catalog. The
+    # backward holds more live tiles per program than the forward (logits,
+    # probability, label select, both matmul outputs), so it caps its
+    # block_m at 384 — (512, cn) in the bwd exceeds the 16 MB scoped-VMEM
+    # stack at d=128 (measured: the HSTU KION config failed compile), while
+    # 384 compiles across the suite and measures fastest of the fitting sizes
+    ds_c, di_c = softmax_ce_grads_from_z(s2, items, z, y_flat, cg, min(block_m, 384), chunk_n)
     ds = gsgn * ds_c
     di = gsgn * di_c
     dw = (g * ce / denom).astype(w_flat.dtype)
