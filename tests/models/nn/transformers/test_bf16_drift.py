@@ -90,3 +90,19 @@ def test_bf16_quality_tracks_f32() -> None:
     assert hits["float32"] > 0.9, hits
     assert hits["bfloat16"] > 0.9, hits
     assert abs(hits["bfloat16"] - hits["float32"]) <= 0.05, hits
+
+
+def test_steps_per_dispatch_preserves_trajectory() -> None:
+    """Fusing k optimizer steps into one dispatch must not change training:
+    the per-step RNG stream is fold_in(key, global_step) either way, so the
+    loss histories are bit-identical."""
+    dataset, _ = _cyclic_dataset(n_users=40, session_len=6)
+
+    def fit(k: int) -> list:
+        model = _model("float32")
+        model.epochs = 3
+        model.training_module_kwargs = {"compute_dtype": "float32", "steps_per_dispatch": k}
+        model.fit(dataset)
+        return model.training_module.train_loss_history
+
+    assert fit(1) == fit(3)
