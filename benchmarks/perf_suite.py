@@ -131,10 +131,11 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
         "y": jnp.asarray(rng.integers(1, cfg["N"], size=(cfg["B"], cfg["L"]))),
         "yw": jnp.ones((cfg["B"], cfg["L"]), jnp.float32),
     }
-    if arch == "hstu":  # relative time attention consumes per-position unix timestamps
+    if arch == "hstu":  # relative time attention consumes per-position unix
+        # timestamps INCLUDING the target time: (B, L+1), the collate contract
         base_ts = 1_600_000_000
         batch["unix_ts"] = jnp.asarray(
-            base_ts + np.sort(rng.integers(0, 10_000_000, size=(cfg["B"], cfg["L"])), axis=1)
+            base_ts + np.sort(rng.integers(0, 10_000_000, size=(cfg["B"], cfg["L"] + 1)), axis=1)
         )
     # init on 8 rows: flax init runs the forward eagerly, and the full-catalog
     # logits at B=512 x L=200 x N=20k are 8.4 GB un-jitted (OOM before step 1)
