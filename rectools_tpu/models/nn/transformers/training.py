@@ -133,12 +133,13 @@ class TransformerTrainingModuleBase:
         # shapes that array is tens of MB per step of pure H2D traffic.
         # Applies only to CatalogUniformSampler; custom samplers stay on host.
         self.negatives_on_device = negatives_on_device
-        # Fuse this many optimizer steps into one dispatch (single-device
-        # only; a mesh keeps per-step dispatch). The per-step RNG stream is
-        # IDENTICAL either way (see _train_multi_step), so this only
-        # amortizes dispatch/transfer latency — with the compact wire dtypes
-        # it lifts the full `model.fit` path from 21.6k to 37.9k examples/s
-        # through a remote-device tunnel at the KION shape (PERF_r04.md).
+        # Fuse this many optimizer steps into one dispatch (works on single
+        # devices and meshes: stacked batches shard the batch axis over the
+        # data axis). The per-step RNG stream is IDENTICAL either way (see
+        # _train_multi_step), so this only amortizes dispatch/transfer
+        # latency — with the compact wire dtypes it lifts the full
+        # `model.fit` path from 21.6k to 37.9k examples/s through a
+        # remote-device tunnel at the KION shape (PERF_r04.md).
         if steps_per_dispatch < 1:
             raise ValueError(f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
         self.steps_per_dispatch = steps_per_dispatch
@@ -686,10 +687,7 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
             callback.on_train_start(self)
 
         stop_requested = False
-        # multi-step dispatch only off-mesh: stacked batches would need an
-        # extra leading-axis sharding rule; per-step dispatch keeps the mesh
-        # path simple and its dispatch latency amortizes across devices anyway
-        group_size = self.steps_per_dispatch if self._get_mesh() is None else 1
+        group_size = self.steps_per_dispatch
 
         small_vocab = self.backbone.item_model.n_items < np.iinfo(np.uint16).max
 
@@ -703,9 +701,21 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                 return arr.astype(np.int32)
             return arr
 
+        mesh = self._get_mesh()
+
         def _prepare_group(group: tp.List[tp.Dict[str, np.ndarray]]) -> tp.Dict[str, jnp.ndarray]:
             stacked = {k: np.stack([_wire_cast(k, b[k]) for b in group]) for k in group[0]}
-            return {k: jnp.asarray(v) for k, v in stacked.items()}
+            if mesh is None:
+                return {k: jnp.asarray(v) for k, v in stacked.items()}
+            # (k, B, ...) stacks shard the BATCH axis over data; lax.scan
+            # slices then carry P(data, ...) per step exactly like the
+            # single-step path
+            return {
+                k: jax.device_put(
+                    jnp.asarray(v), NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (v.ndim - 2))))
+                )
+                for k, v in stacked.items()
+            }
 
 
         for _ in range(max_epochs):

@@ -76,6 +76,24 @@ class TestShardedTraining:
             reco_s[Columns.Score].values, reco_m[Columns.Score].values, atol=1e-3
         )
 
+    def test_grouped_dispatch_on_mesh_preserves_trajectory(self) -> None:
+        """steps_per_dispatch must be a pure dispatch-granularity knob on a
+        mesh too: identical RNG stream, bit-identical loss history."""
+        dataset = _dataset()
+        common = dict(
+            n_blocks=1, n_heads=2, n_factors=16, session_max_len=8, epochs=2,
+            batch_size=16, seed=3, dropout_rate=0.0,
+        )
+
+        def fit(k: int) -> list:
+            model = SASRecModel(
+                training_module_kwargs={"mesh_shape": (4, 2), "steps_per_dispatch": k}, **common
+            )
+            model.fit(dataset)
+            return model.training_module.train_loss_history
+
+        assert fit(1) == fit(4)
+
     def test_indivisible_batch_raises(self) -> None:
         dataset = _dataset()
         model = SASRecModel(
