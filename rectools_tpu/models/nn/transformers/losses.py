@@ -16,13 +16,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# (block_m, chunk_n) the streaming-lse CE uses at narrow feature dims (d<=128):
+# (block_m, chunk_n) the streaming-lse CE uses, by feature width and dtype:
 # (512, 4096) swept fastest end-to-end with the partials fwd kernel on v5e
-# (45.8k ex/s vs 44.2k at (256, 4096), median-of-5 — PERF_r04). Under f32
-# inputs the backward's probability/select tiles double and (512, 4096)
-# exceeds the 16 MB scoped-VMEM stack, so f32 keeps the half-height block.
+# at BOTH d=128 (45.8k vs 44.2k ex/s at (256, 4096)) and d=256 (9.86k vs
+# 9.23k at the old (512, 2048) default) — median-of-5, PERF_r04. Under f32
+# inputs the probability/select tiles double and (512, 4096) exceeds the
+# 16 MB scoped-VMEM stack, so f32 keeps the smaller known-fitting blocks.
 _NARROW_D_TILING = (512, 4096)
 _NARROW_D_TILING_F32 = (256, 4096)
+_WIDE_D_TILING = (512, 4096)
 
 
 def softmax_loss(logits: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +120,8 @@ def fused_softmax_loss(
         # (sweeps in PERF_r03/PERF_r04)
         if d <= 128:
             block_m, chunk_n = _NARROW_D_TILING if s2.dtype == jnp.bfloat16 else _NARROW_D_TILING_F32
+        elif s2.dtype == jnp.bfloat16:
+            block_m, chunk_n = _WIDE_D_TILING
         else:
             block_m, chunk_n = DEFAULT_BLOCK_M, DEFAULT_CHUNK_N
         return _fused_ce_pallas(s2, item_towers, y.reshape(-1), w.reshape(-1), block_m, chunk_n)
