@@ -143,6 +143,14 @@ class MetricsApp:
 
     # -------------------------------------------------------------- chart data
 
+    def chart_data(self, fold: tp.Optional[int] = None) -> pd.DataFrame:
+        """The frame the scatter renders: fold-averaged metrics per model
+        (``fold=None``) or one fold's rows — usable headless, without the
+        plotly/ipywidgets extras the rendering entry points need."""
+        if fold is None:
+            return self._make_chart_data_avg()
+        return self._make_chart_data_fold(fold)
+
     def _make_chart_data_fold(self, fold_number: int) -> pd.DataFrame:
         """Rows of one fold (memoized)."""
         if fold_number not in self._fold_frames:

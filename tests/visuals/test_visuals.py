@@ -100,6 +100,13 @@ class TestMetricsApp:
         fold0 = app._make_chart_data_fold(0)
         assert len(fold0) == 2
 
+    def test_chart_data_public_accessor(self) -> None:
+        # headless access to what the scatter renders: averaged and per-fold
+        app = MetricsApp.construct(self.METRICS, auto_display=False)
+        pd.testing.assert_frame_equal(app.chart_data(), app._make_chart_data_avg())
+        pd.testing.assert_frame_equal(app.chart_data(fold=1), app._make_chart_data_fold(1))
+        assert app.chart_data(fold=1)["prec@10"].tolist() == [0.3, 0.4]
+
     def test_metadata_merge(self) -> None:
         meta = pd.DataFrame({Columns.Model: ["m1", "m2"], "factors": [64, 32]})
         app = MetricsApp.construct(self.METRICS, models_metadata=meta, auto_display=False)
