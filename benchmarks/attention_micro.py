@@ -25,29 +25,43 @@ STEPS = 20
 
 
 def bench(fn, *args) -> float:
-    """ms per iteration of fn(*args) -> scalar, fwd+bwd, scan-timed."""
+    """ms per iteration of fn(*args) -> scalar, fwd+bwd, scan-timed.
 
-    @jax.jit
-    def run(q, rest):
-        def body(carry, i):
-            qi = q * (1.0 + 1e-9 * i.astype(q.dtype))
+    Two-window differenced (STEPS vs 4*STEPS): the transport's fixed
+    ~25-30 ms dispatch+fetch round trip cancels in the slope — at STEPS=20
+    it would otherwise add ~1.3 ms to every kernel, swamping short-L rows."""
 
-            def loss(qq):
-                return fn(qq, *rest)
+    def make_run(n_steps):
+        @jax.jit
+        def run(q, rest):
+            def body(carry, i):
+                qi = q * (1.0 + 1e-9 * i.astype(q.dtype))
 
-            val, grad = jax.value_and_grad(loss)(qi)
-            return carry + val + grad.sum(), None
+                def loss(qq):
+                    return fn(qq, *rest)
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(STEPS))
-        return acc
+                val, grad = jax.value_and_grad(loss)(qi)
+                return carry + val + grad.sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_steps))
+            return acc
+
+        return run
 
     q, *rest = args
-    acc = run(q, rest)
-    float(acc)  # compile + settle
-    t0 = time.perf_counter()
-    acc = run(q, rest)
-    float(acc)  # host value fetch = trustworthy sync
-    return (time.perf_counter() - t0) / STEPS * 1e3
+    small, large = make_run(STEPS), make_run(4 * STEPS)
+    float(small(q, rest)), float(large(q, rest))  # compile + settle
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(small(q, rest))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(large(q, rest))
+        t_large = time.perf_counter() - t0
+        slopes.append((t_large - t_small) / (3 * STEPS) * 1e3)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def main() -> None:

@@ -184,18 +184,21 @@ def _train_step_fn(cfg, dropout_rate: float, compute_dtype: str, remat: bool = F
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state2), loss
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_step(params, opt_state):
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), jnp.arange(STEPS))
-        return params, opt_state, losses[-1]
+    def make_multi_step(n_steps):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state):
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), jnp.arange(n_steps))
+            return params, opt_state, losses[-1]
 
-    return multi_step, params, opt_state
+        return multi_step
+
+    return make_multi_step, params, opt_state
 
 
 def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False, arch="sasrec"):
     import jax
 
-    multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype, remat, arch)
+    make_multi_step, params, opt_state = _train_step_fn(cfg, dropout_rate, compute_dtype, remat, arch)
     # Analytic FLOPs (XLA's cost_analysis counts lax.scan bodies once, not
     # once per iteration, so it is useless for a scanned train step):
     # fwd+bwd ~ 3x forward; forward = catalog logits (2*B*L*N*D) + per-block
@@ -207,31 +210,42 @@ def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False, arc
     )
     flops_per_step = 3.0 * fwd_flops
 
+    # Two-window differenced timing (see bench.py): the remote transport
+    # charges a fixed ~25-30 ms per dispatch+fetch regardless of dispatched
+    # work, so a single STEPS-size window inflates per-step time by
+    # ~1 ms at STEPS=30. Per-step time is the slope between a STEPS-step and
+    # a 4*STEPS-step window; the fixed round trip cancels. Spread comes from
+    # per-rep paired slopes (rep i of each window), stored as min/max so
+    # jitter claims stay checkable from the artifact (VERDICT r3 item 6).
+    n_small, n_large = STEPS, 4 * STEPS
+    small, large = make_multi_step(n_small), make_multi_step(n_large)
     for _ in range(2):
-        params, opt_state, loss = multi_step(params, opt_state)
+        params, opt_state, loss = small(params, opt_state)
+        params, opt_state, loss = large(params, opt_state)
     final = float(loss)
-    # median-of-5 with stored spread (VERDICT r3 item 6: no single-shot
-    # numbers — every row carries its min/max so "tunnel jitter" claims are
-    # checkable from the artifact itself)
-    times = []
+    t_small, t_large = [], []
     for _ in range(5):
         t0 = time.perf_counter()
-        params, opt_state, loss = multi_step(params, opt_state)
+        params, opt_state, loss = small(params, opt_state)
         final = float(loss)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+        t_small.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        params, opt_state, loss = large(params, opt_state)
+        final = float(loss)
+        t_large.append(time.perf_counter() - t0)
+    slopes = sorted((tl - ts) / (n_large - n_small) for ts, tl in zip(t_small, t_large))
+    dt_step = slopes[len(slopes) // 2]
 
     from rectools_tpu.utils.profiling import device_peaks
 
     peak_bf16, peak_f32, _ = device_peaks()
-    achieved = flops_per_step * STEPS / dt
+    achieved = flops_per_step / dt_step
     return {
-        "examples_per_s": round(cfg["B"] * STEPS / dt, 1),
-        "examples_per_s_min": round(cfg["B"] * STEPS / times[-1], 1),
-        "examples_per_s_max": round(cfg["B"] * STEPS / times[0], 1),
-        "step_ms": round(dt / STEPS * 1e3, 3),
-        "n_reps": len(times),
+        "examples_per_s": round(cfg["B"] / dt_step, 1),
+        "examples_per_s_min": round(cfg["B"] / slopes[-1], 1),
+        "examples_per_s_max": round(cfg["B"] / slopes[0], 1),
+        "step_ms": round(dt_step * 1e3, 3),
+        "n_reps": len(slopes),
         "flops_per_step": float(f"{flops_per_step:.4g}"),
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved / peak_bf16, 4),
@@ -271,20 +285,38 @@ def bench_attention_micro():
             for name, loss_fn in (("fused", fused_loss), ("xla", ref_loss)):
                 grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
 
-                def many(q, k, v):
-                    def body(carry, _):
-                        gq, gk, gv = grad_fn(q, k, v)
-                        return carry + jnp.sum(gq[0, 0, 0]), None
+                def make_many(n_iters):
+                    def many(q, k, v):
+                        def body(carry, i):
+                            # step-dependence threaded into q: without it the
+                            # body is loop-invariant and XLA hoists the grad
+                            # out of the scan (one evaluation regardless of
+                            # length — measured as ~0 slope)
+                            qi = q * (1.0 + 1e-9 * i.astype(q.dtype))
+                            gq, gk, gv = grad_fn(qi, k, v)
+                            return carry + jnp.sum(gq[0, 0, 0]), None
 
-                    out, _ = jax.lax.scan(body, jnp.float32(0), None, length=10)
-                    return out
+                        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+                        return out
 
-                many_j = jax.jit(many)
-                float(many_j(q, k, v))
-                t0 = time.perf_counter()
-                float(many_j(q, k, v))
-                dt = (time.perf_counter() - t0) / 10
-                results[f"L{l}_drop{rate}_{name}_fwdbwd_ms"] = round(dt * 1e3, 3)
+                    return jax.jit(many)
+
+                # two-window slope: the fixed dispatch round trip (~25-30 ms)
+                # would otherwise add ~2.5 ms/iter at length=10 — more than
+                # the short-L kernels themselves cost
+                small_j, large_j = make_many(10), make_many(40)
+                float(small_j(q, k, v)), float(large_j(q, k, v))
+                slopes = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(small_j(q, k, v))
+                    t_small = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    float(large_j(q, k, v))
+                    t_large = time.perf_counter() - t0
+                    slopes.append((t_large - t_small) / 30 * 1e3)
+                slopes.sort()
+                results[f"L{l}_drop{rate}_{name}_fwdbwd_ms"] = round(slopes[1], 3)
         log(f"attention micro L={l} done")
     return results
 
@@ -302,24 +334,50 @@ def bench_serving():
         ("approx_0.95", TopKEngine(objects, approximate=True, recall_target=0.95)),
     ):
         engine.query_batch(queries, k)  # compile
+        # synchronous per-batch latency: dispatch + device compute + result
+        # fetch, as a blocking caller experiences it (includes the
+        # transport's fixed round trip — that's real for this access pattern)
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
             idx, scores, valid = engine.query_batch(queries, k)
             times.append(time.perf_counter() - t0)
         times.sort()
-        results[f"topk_{mode}_qps"] = round(batch / times[len(times) // 2], 0)
-        results[f"topk_{mode}_qps_min"] = round(batch / times[-1], 0)
-        results[f"topk_{mode}_qps_max"] = round(batch / times[0], 0)
+        results[f"topk_{mode}_batch_latency_ms"] = round(times[len(times) // 2] * 1e3, 1)
+        # pipelined throughput: keep DEPTH batches in flight via the async
+        # API before materializing, the way a serving loop runs — dispatch
+        # round trips overlap with device compute instead of serializing
+        depth = 8
+        handles = [engine.query_batch_async(queries, k) for _ in range(depth)]
+        for h in handles:
+            engine.materialize(h, batch)  # warm the pipelined path
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            handles = [engine.query_batch_async(queries, k) for _ in range(depth)]
+            for h in handles:
+                engine.materialize(h, batch)
+            reps.append(depth * batch / (time.perf_counter() - t0))
+        reps.sort()
+        results[f"topk_{mode}_qps"] = round(reps[len(reps) // 2], 0)
+        results[f"topk_{mode}_qps_min"] = round(reps[0], 0)
+        results[f"topk_{mode}_qps_max"] = round(reps[-1], 0)
     # batch-size sensitivity for the auto-scaler's default territory
+    # (pipelined depth-8 like the headline rows, so small batches aren't
+    # charged one full transport round trip each)
     for bsize in (512, 2048, 8192):
         sub = queries[:bsize]
         engine = TopKEngine(objects)
         engine.query_batch(sub, k)
+        depth = 8
+        handles = [engine.query_batch_async(sub, k) for _ in range(depth)]
+        for h in handles:
+            engine.materialize(h, bsize)
         t0 = time.perf_counter()
-        for _ in range(5):
-            engine.query_batch(sub, k)
-        dt = (time.perf_counter() - t0) / 5
+        handles = [engine.query_batch_async(sub, k) for _ in range(depth)]
+        for h in handles:
+            engine.materialize(h, bsize)
+        dt = (time.perf_counter() - t0) / depth
         results[f"topk_exact_qps_b{bsize}"] = round(bsize / dt, 0)
     return results
 

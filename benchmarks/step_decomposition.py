@@ -66,25 +66,47 @@ def _setup(dropout_rate=0.2, compute_dtype="bfloat16"):
 
 
 def _time_scan(body, init_carry):
-    """Scan STEPS iterations of `body` on device; sync via value fetch."""
+    """Two-window differenced ms/step of `body` on device.
+
+    The remote transport charges a fixed ~25-30 ms per dispatch+fetch
+    regardless of dispatched work; timing one STEPS-size window would
+    inflate each slice by ~1 ms/step at STEPS=30 — larger than some of the
+    slices themselves. Per-step time is the slope between a STEPS and a
+    4*STEPS window (median-of-3 paired slopes); the fixed round trip
+    cancels exactly. Sync is a host VALUE fetch (block_until_ready can
+    acknowledge early through the tunnel)."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def many(carry):
-        carry, outs = jax.lax.scan(body, carry, jnp.arange(STEPS))
-        return carry, outs[-1]
+    def make_many(n_steps):
+        @partial(jax.jit, donate_argnums=(0,))
+        def many(carry):
+            carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps))
+            return carry, outs[-1]
 
+        return many
+
+    small, large = make_many(STEPS), make_many(4 * STEPS)
     # donation consumes the carry buffers — deep-copy so callers can reuse
     # the same params tree across slices
     carry = jax.tree.map(jnp.array, init_carry)
     for _ in range(2):
-        carry, probe = many(carry)
+        carry, probe = small(carry)
+        carry, probe = large(carry)
     float(jax.numpy.asarray(probe).ravel()[0].astype(jax.numpy.float32))
-    t0 = time.perf_counter()
-    carry, probe = many(carry)
-    float(jax.numpy.asarray(probe).ravel()[0].astype(jax.numpy.float32))
-    return (time.perf_counter() - t0) / STEPS * 1e3  # ms/step
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, probe = small(carry)
+        float(jax.numpy.asarray(probe).ravel()[0].astype(jax.numpy.float32))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        carry, probe = large(carry)
+        float(jax.numpy.asarray(probe).ravel()[0].astype(jax.numpy.float32))
+        t_large = time.perf_counter() - t0
+        slopes.append((t_large - t_small) / (3 * STEPS) * 1e3)
+    slopes.sort()
+    return slopes[len(slopes) // 2]  # ms/step
 
 
 def main() -> None:
@@ -144,13 +166,22 @@ def main() -> None:
 
     def towers_fwd_nodrop_body(carry, step_idx):
         params = carry
+        # step-dependence threaded into the params: without rngs the body is
+        # loop-invariant and XLA hoists it out of the scan (the slice would
+        # measure ~0 under differenced timing, and pure dispatch round trip
+        # under single-window timing)
+        eps = (1.0 + 1e-9 * step_idx.astype(jnp.float32))
 
         def det_towers(module, batch):
             item_embs = module.item_model.embed_catalog(deterministic=True)
             session_embs = module.encode_sessions(batch, item_embs, deterministic=True)
             return session_embs, item_embs
 
-        s_t, i_t = backbone.apply({"params": cast(params)}, batch, method=det_towers)
+        p = jax.tree.map(
+            lambda x: x * eps.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            cast(params),
+        )
+        s_t, i_t = backbone.apply({"params": p}, batch, method=det_towers)
         return params, (s_t.sum() + i_t.sum()).astype(jnp.float32)
 
     results["towers_fwd_nodrop"] = _time_scan(towers_fwd_nodrop_body, params)

@@ -34,22 +34,38 @@ def log(msg: str) -> None:
 
 
 def _time_scan(body, init_carry):
+    """Two-window differenced ms/step (cancels the transport's fixed
+    ~25-30 ms dispatch+fetch round trip; see step_decomposition._time_scan)."""
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def many(carry):
-        carry, outs = jax.lax.scan(body, carry, jnp.arange(STEPS))
-        return carry, outs[-1]
+    def make_many(n_steps):
+        @partial(jax.jit, donate_argnums=(0,))
+        def many(carry):
+            carry, outs = jax.lax.scan(body, carry, jnp.arange(n_steps))
+            return carry, outs[-1]
 
+        return many
+
+    small, large = make_many(STEPS), make_many(4 * STEPS)
     carry = jax.tree.map(jnp.array, init_carry)
     for _ in range(2):
-        carry, probe = many(carry)
+        carry, probe = small(carry)
+        carry, probe = large(carry)
     float(jnp.asarray(probe).ravel()[0].astype(jnp.float32))
-    t0 = time.perf_counter()
-    carry, probe = many(carry)
-    float(jnp.asarray(probe).ravel()[0].astype(jnp.float32))
-    return (time.perf_counter() - t0) / STEPS * 1e3
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, probe = small(carry)
+        float(jnp.asarray(probe).ravel()[0].astype(jnp.float32))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        carry, probe = large(carry)
+        float(jnp.asarray(probe).ravel()[0].astype(jnp.float32))
+        t_large = time.perf_counter() - t0
+        slopes.append((t_large - t_small) / (3 * STEPS) * 1e3)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def main() -> None:

@@ -50,6 +50,54 @@ def _next_pow2(n: int, minimum: int = 8) -> int:
     return max(minimum, 1 << max(0, (n - 1).bit_length()))
 
 
+def _hier_chunk(n: int, k: int) -> tp.Optional[int]:
+    """Chunk width for :func:`exact_top_k`'s two-level reduction, or None
+    when flat ``lax.top_k`` is the better (or only) option.
+
+    Wants the smallest 128-multiple divisor of ``n`` that is >= max(512, 2k)
+    — the v5e sweep at (B=8192, N=15872, k=100) put chunks of 512-992 at
+    ~52 ms vs 110 ms flat, with 256 already regressing (stage-2 candidate
+    count c*k grows past the stage-1 savings)."""
+    if n < 4096 or k > 512:
+        return None
+    floor = max(512, 2 * k)
+    units = n // 128
+    best = None
+    for m in range(1, units + 1):
+        if units % m:
+            continue
+        chunk = m * 128
+        if chunk >= floor and chunk < n and (best is None or chunk < best):
+            best = chunk
+    if best is None or (n // best) * k >= n:  # stage 2 wouldn't shrink the problem
+        return None
+    return best
+
+
+def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
+    """Exact ``lax.top_k`` drop-in, ~2x faster at serving shapes.
+
+    XLA's TPU TopK over a wide trailing axis is the serving bottleneck
+    (110 ms of an 87 ms-compute batch at B=8192, N=15872, k=100). A
+    two-level reduction — top-k inside 128-aligned chunks, then top-k over
+    the c*k survivors — returns the same (scores, indices) set in ~52 ms.
+    EXACTNESS: the returned set is always exact. ORDER of exactly-tied
+    scores follows candidate position (chunk-major), the same convention as
+    the sharded merge in ops/topk_sharded.py, which can differ from flat
+    ``lax.top_k``'s global lowest-index rule across chunk boundaries."""
+    n = scores.shape[-1]
+    chunk = _hier_chunk(n, k)
+    if chunk is None:
+        return jax.lax.top_k(scores, k)
+    lead = scores.shape[:-1]
+    c = n // chunk
+    s1, i1 = jax.lax.top_k(scores.reshape(*lead, c, chunk), k)
+    base = (jnp.arange(c, dtype=jnp.int32) * chunk)[None, :, None]
+    top_scores, pos = jax.lax.top_k(s1.reshape(*lead, c * k), k)
+    top_idx = jnp.take_along_axis((i1 + base).reshape(*lead, c * k), pos, axis=-1)
+    return top_scores, top_idx
+
+
 @partial(jax.jit, static_argnames=("k", "mode", "approx", "recall_target"))
 def _score_mask_topk(
     subjects: jax.Array,  # (B, D) f32
@@ -91,7 +139,7 @@ def _score_mask_topk(
         top_scores, top_idx = jax.lax.approx_max_k(rank_scores, k, recall_target=recall_target)
         top_idx = top_idx.astype(jnp.int32)
     else:
-        top_scores, top_idx = jax.lax.top_k(rank_scores, k)
+        top_scores, top_idx = exact_top_k(rank_scores, k)
     valid = top_scores > (_NEG_INF / 2)
 
     if mode == Distance.COSINE.value:
@@ -145,7 +193,7 @@ def _score_mask_topk_chunked(
         rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
         scores = scores.at[rows, local_seen].set(_NEG_INF, mode="drop")
 
-        top_s, top_i = jax.lax.top_k(scores, min(k, chunk))
+        top_s, top_i = exact_top_k(scores, min(k, chunk))
         top_i = top_i + start
         cat_s = jnp.concatenate([best_scores, top_s], axis=1)
         cat_i = jnp.concatenate([best_idx, top_i], axis=1)
@@ -191,7 +239,7 @@ def _random_mask_topk(
     scores = jnp.where(col_ids < n_valid_objects, scores, _NEG_INF)
     rows = jax.lax.broadcasted_iota(jnp.int32, seen_idx.shape, 0)
     scores = scores.at[rows, seen_idx].set(_NEG_INF, mode="drop")
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_scores, top_idx = exact_top_k(scores, k)
     valid = top_scores > (_NEG_INF / 2)
     return top_idx, valid
 

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from scipy import sparse
 
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_to_multiple
-from .topk import Distance, _csr_rows_to_padded_idx, _next_pow2, _normalize_rows, _NEG_INF
+from .topk import Distance, _csr_rows_to_padded_idx, _next_pow2, _normalize_rows, _NEG_INF, exact_top_k
 
 
 def _local_topk_merge(
@@ -65,7 +65,7 @@ def _local_topk_merge(
     scores = scores.at[rows, local_seen].set(_NEG_INF, mode="drop")
 
     k_local = min(k, n_local)
-    top_s, top_i = jax.lax.top_k(scores, k_local)
+    top_s, top_i = exact_top_k(scores, k_local)
     top_i = top_i + start  # back to global object ids
 
     # Candidate exchange over ICI: (n_model, B_local, k_local) then merge.
