@@ -1,12 +1,26 @@
-"""ROC-AUC based ranking metrics: PartialAUC and PAP.
+"""Partial ROC-AUC ranking metrics: ``PartialAUC`` and ``PAP``.
 
-Behavioral parity with reference rectools/metrics/auc.py:28-560.
+Capability parity with reference ``rectools/metrics/auc.py`` (PartialAUC at
+:271, PAP at :382, family dispatcher at :503), derived independently from the
+metric definitions in arXiv 2001.10495 / PMLR v119 hiranandani20a.
+
+Derivation used here (hit-centric, not the reference's enriched-table
+pipeline): for one user, a *hit* is a test positive that appears in the
+recommendation list. A hit ranked above ``r`` of the user's negatives-in-list
+("misses") is concordant with the ``k - r`` top-``k`` misses ranked below it,
+so it contributes ``max(0, k - r)`` of the ``k * n_pos`` (PartialAUC) or
+``k * min(n_pos, k)`` (PAP) possible pairs. Positives absent from the list
+contribute nothing. This collapses the metric to three per-hit quantities —
+owning user, misses ranked above, and the hit's ordinal among the user's hits
+— which are computed once with flat numpy segment ops (prefix sums reset at
+user boundaries + ``reduceat``) and reused by every metric/k combination.
 """
 
 import typing as tp
 from enum import Enum
 
 import attr
+import numpy as np
 import pandas as pd
 
 from ..columns import Columns
@@ -15,124 +29,195 @@ from .debias import DebiasableMetrikAtK, calc_debiased_fit_task, debias_interact
 
 
 class InsufficientHandling(str, Enum):
-    """Strategy for handling users with insufficient recommendation lists."""
+    """What to do with users whose recommendation lists are too short."""
 
     IGNORE = "ignore"
     EXCLUDE = "exclude"
     RAISE = "raise"
 
 
-@attr.s
+@attr.s(auto_attribs=True)
 class AUCFitted:
-    """Outer-merged reco enriched with tp/fp cumulative columns
-    (reference auc.py:37-58)."""
+    """Reusable per-hit decomposition of (reco, interactions), produced by
+    :meth:`_AUCMetric.fit` and consumed by every AUC-family metric.
 
-    outer_merged_enriched: pd.DataFrame = attr.ib()
-    n_pos: pd.Series = attr.ib()
-    n_fp_insufficient: pd.Series = attr.ib()
+    Unlike the reference container (which carries the full outer-merged table
+    with cumulative helper columns), this holds only what the pair-counting
+    formula needs:
+
+    hits : pd.DataFrame
+        One row per *ranked test positive* across all users, in (user, rank)
+        order. Columns: ``Columns.User``; ``misses_above`` — how many of that
+        user's in-list negatives rank better than the hit; ``hit_ordinal`` —
+        1-based position of the hit among the user's ranked hits.
+    n_pos : pd.Series
+        Per-user count of distinct test positives (ranked or not), indexed by
+        user id in ascending order.
+    short_list_misses : pd.Series
+        For each user who has at least one *unranked* test positive, the total
+        number of in-list negatives. These are the only users that can be
+        "insufficient" for any ``k``; the per-metric threshold is applied at
+        calc time.
+    """
+
+    hits: pd.DataFrame
+    n_pos: pd.Series
+    short_list_misses: pd.Series
+
+
+def _segment_prefix_stats(
+    users: np.ndarray, ranked: np.ndarray, positive: np.ndarray
+) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row (misses_above, hit_ordinal) plus segment starts and lengths.
+
+    ``users`` must arrive grouped with each user's rows rank-ascending and
+    unranked rows last — exactly the layout ``outer_merge_reco`` emits. Prefix
+    sums are taken globally and re-based at each user boundary, avoiding any
+    per-user Python loop.
+    """
+    n = len(users)
+    if n == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, empty, empty
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.not_equal(users[1:], users[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    lengths = np.diff(np.append(starts, n))
+
+    miss = ranked & ~positive
+    miss_run = np.cumsum(miss)
+    carried = np.repeat(np.concatenate(([0], miss_run[starts[1:] - 1])), lengths)
+    # exclusive within-user prefix: misses strictly above this row
+    misses_above = miss_run - miss - carried
+
+    hit = ranked & positive
+    hit_run = np.cumsum(hit)
+    hit_carried = np.repeat(np.concatenate(([0], hit_run[starts[1:] - 1])), lengths)
+    hit_ordinal = hit_run - hit_carried  # inclusive: 1-based at hit rows
+
+    return misses_above, hit_ordinal, starts, lengths
 
 
 @attr.s
 class _AUCMetric(DebiasableMetrikAtK):
-    """Base class for partial-AUC metrics (reference auc.py:62-269)."""
+    """Shared machinery for partial-AUC metrics (cf. reference auc.py:62)."""
 
     insufficient_handling: str = attr.ib(default=InsufficientHandling.IGNORE.value)
 
     @insufficient_handling.validator
     def _check_insufficient_handling(self, attribute: tp.Any, value: str) -> None:
-        possible = {item.value for item in InsufficientHandling.__members__.values()}
-        if value not in possible:
-            raise ValueError(f"`insufficient_handling` must be one of the {possible}. Got {value}.")
+        allowed = {item.value for item in InsufficientHandling.__members__.values()}
+        if value not in allowed:
+            raise ValueError(f"`insufficient_handling` must be one of the {allowed}. Got {value}.")
 
     @classmethod
     def fit(
         cls, reco: pd.DataFrame, interactions: pd.DataFrame, k_max: int, insufficient_handling_needed: bool
     ) -> AUCFitted:
-        """Outer merge + cumulative tp/fp columns."""
+        """Decompose (reco, interactions) into the per-hit statistics every
+        AUC metric variant consumes. Fit once, evaluate at many ``k``."""
         cls._check(reco, interactions=interactions)
-        outer_merged = outer_merge_reco(reco, interactions)
-        recommended_mask = ~outer_merged[Columns.Rank].isna()
-        outer_merged["__tp"] = recommended_mask & outer_merged["__test_positive"]
-        outer_merged["__fp"] = recommended_mask & ~outer_merged["__test_positive"]
+        table = outer_merge_reco(reco, interactions)
 
-        grouped = outer_merged.groupby(Columns.User, sort=False)
-        cumsum_stats = grouped.agg(__fp_cumsum=("__fp", "cumsum"), __test_pos_cumsum=("__test_positive", "cumsum"))
-        stats = grouped.agg(n_pos=("__test_positive", "sum"), n_fp=("__fp", "sum"))
+        users = table[Columns.User].to_numpy()
+        ranked = table[Columns.Rank].notna().to_numpy()
+        positive = table["__test_positive"].to_numpy()
 
-        n_pos = stats["n_pos"].dropna().rename_axis(Columns.User)
-        outer_merged = pd.concat([outer_merged, cumsum_stats[["__fp_cumsum", "__test_pos_cumsum"]]], axis=1)
+        misses_above, hit_ordinal, starts, _ = _segment_prefix_stats(users, ranked, positive)
+        if len(users) == 0:
+            empty_hits = pd.DataFrame({Columns.User: [], "misses_above": [], "hit_ordinal": []})
+            empty = pd.Series([], dtype=float).rename_axis(Columns.User)
+            return AUCFitted(empty_hits, empty, empty)
 
+        user_index = pd.Index(users[starts], name=Columns.User)
+        n_pos = pd.Series(np.add.reduceat(positive, starts), index=user_index)
+
+        hit_rows = np.flatnonzero(ranked & positive)
+        hits = pd.DataFrame(
+            {
+                Columns.User: users[hit_rows],
+                "misses_above": misses_above[hit_rows],
+                "hit_ordinal": hit_ordinal[hit_rows],
+            }
+        )
+
+        # Sufficiency only ever matters for users with an unranked positive
+        # (a false negative): everyone else has their whole test set in-list,
+        # which satisfies any k. Per-metric k filtering happens at calc time,
+        # so k_max is not needed here beyond the reference-compatible signature.
         if insufficient_handling_needed:
-            users_n_fp = stats["n_fp"].dropna().rename_axis(Columns.User)
-            n_fp_insufficient = users_n_fp[users_n_fp < k_max]
-            users_with_fn = outer_merged.loc[~recommended_mask, Columns.User].unique()
-            n_fp_insufficient = n_fp_insufficient[n_fp_insufficient.index.isin(users_with_fn)]
+            n_miss = np.add.reduceat(ranked & ~positive, starts)
+            unseen_pos = np.add.reduceat(positive & ~ranked, starts) > 0
+            short_list_misses = pd.Series(n_miss[unseen_pos], index=user_index[unseen_pos], dtype=float)
         else:
-            n_fp_insufficient = pd.Series([], dtype=float)
-        return AUCFitted(outer_merged, n_pos, n_fp_insufficient)
+            short_list_misses = pd.Series([], dtype=float).rename_axis(Columns.User)
 
-    def _get_sufficient_reco_explanation(self) -> str:
+        return AUCFitted(hits, n_pos, short_list_misses)
+
+    def _sufficiency_advice(self) -> str:
         raise NotImplementedError()
 
-    def _handle_insufficient_cases(
-        self, outer_merged: pd.DataFrame, n_pos: pd.Series, n_fp_insufficient: pd.Series
-    ) -> tp.Tuple[pd.DataFrame, pd.Series]:
+    def _flag_short_lists(self, fitted: AUCFitted) -> np.ndarray:
+        """Users whose lists are too short for this metric's ``k``; raises if
+        the policy demands it, returns the user ids to exclude otherwise."""
         if self.insufficient_handling == InsufficientHandling.IGNORE:
-            return outer_merged, n_pos
-        insufficient_users = n_fp_insufficient[n_fp_insufficient < self.k].index.values
-        if len(insufficient_users) == 0:
-            return outer_merged, n_pos
-        if self.insufficient_handling == InsufficientHandling.EXCLUDE:
-            outer_merged_suf = outer_merged[~outer_merged[Columns.User].isin(insufficient_users)]
-            n_pos_suf = n_pos[~n_pos.index.isin(insufficient_users)]
-            return outer_merged_suf, n_pos_suf
+            return np.array([], dtype=fitted.n_pos.index.dtype if len(fitted.n_pos) else np.int64)
+        flagged = fitted.short_list_misses.index[fitted.short_list_misses < self.k].to_numpy()
+        if len(flagged) == 0 or self.insufficient_handling == InsufficientHandling.EXCLUDE:
+            return flagged
         raise ValueError(
-            f"{self.__class__.__name__}@{self.k} requires at least {self.k} negatives in "
-            f"recommendations for each user (or all test positives ranked). There are "
-            f"{len(insufficient_users)} users with less than required. "
-            f"{self._get_sufficient_reco_explanation()} "
-            f'Set `insufficient_handling` to "{InsufficientHandling.IGNORE.value}" or '
-            f'"{InsufficientHandling.EXCLUDE.value}" to disable this error.'
+            f"{self.__class__.__name__}@{self.k}: {len(flagged)} user(s) have fewer than "
+            f"{self.k} negatives in their recommendation lists while some of their test "
+            f"positives were never recommended, so the top-{self.k} negative set is not "
+            f"fully determined. {self._sufficiency_advice()} "
+            f'Pass insufficient_handling="{InsufficientHandling.IGNORE.value}" to score them '
+            f'pessimistically or "{InsufficientHandling.EXCLUDE.value}" to drop them.'
         )
 
-    def _calc_roc_auc(self, cropped_outer_merged: pd.DataFrame, n_pos: pd.Series) -> pd.Series:
-        gain = (self.k - cropped_outer_merged["__fp_cumsum"]) * cropped_outer_merged["__tp"]
-        numerator = (
-            pd.DataFrame({Columns.User: cropped_outer_merged[Columns.User], "__gain": gain})
-            .groupby(Columns.User)["__gain"]
-            .sum()
-        )
-        denominator = n_pos * self.k
-        auc = numerator.rename("num").to_frame().join(denominator.rename("den"), how="outer")
-        return (auc["num"] / auc["den"]).fillna(0)
+    def _pair_fraction(self, hits: pd.DataFrame, denominator: pd.Series, keep: np.ndarray) -> pd.Series:
+        """Sum per-hit concordant-pair gains over users and normalize.
+
+        ``keep`` selects the hit rows that participate for this metric's
+        ``k``; each kept hit beats ``k - misses_above`` of the top-k misses.
+        Users with no kept hits score 0 (every possible pair discordant).
+        """
+        owner_ids = denominator.index.to_numpy()
+        gains = np.zeros(len(owner_ids), dtype=np.float64)
+        kept = hits[keep]
+        if len(kept):
+            slot = np.searchsorted(owner_ids, kept[Columns.User].to_numpy())
+            np.add.at(gains, slot, (self.k - kept["misses_above"].to_numpy()).astype(np.float64))
+        return pd.Series(gains / denominator.to_numpy(), index=denominator.index)
 
     def calc(self, reco: pd.DataFrame, interactions: pd.DataFrame) -> float:
         """Mean metric value over users."""
         return self.calc_per_user(reco, interactions).mean()
 
     def calc_per_user(self, reco: pd.DataFrame, interactions: pd.DataFrame) -> pd.Series:
-        """Per-user metric values."""
+        """Per-user metric values (index: user id, ascending)."""
         is_debiased = False
         if self.debias_config is not None:
             interactions = debias_interactions(interactions, self.debias_config)
             is_debiased = True
         self._check(reco, interactions=interactions)
-        insufficient_handling_needed = self.insufficient_handling != InsufficientHandling.IGNORE
-        fitted = self.fit(reco, interactions, self.k, insufficient_handling_needed)
+        needs_sufficiency = self.insufficient_handling != InsufficientHandling.IGNORE
+        fitted = self.fit(reco, interactions, self.k, needs_sufficiency)
         return self.calc_per_user_from_fitted(fitted, is_debiased)
 
     def calc_from_fitted(self, fitted: AUCFitted, is_debiased: bool = False) -> float:
-        """Mean metric value from fitted data."""
+        """Mean metric value from pre-fitted statistics."""
         return self.calc_per_user_from_fitted(fitted, is_debiased).mean()
 
     def calc_per_user_from_fitted(self, fitted: AUCFitted, is_debiased: bool = False) -> pd.Series:
-        """Per-user metric values from fitted data."""
+        """Per-user metric values from pre-fitted statistics."""
         raise NotImplementedError()
 
 
 @attr.s
 class PartialAUC(_AUCMetric):
-    """Partial AUC on the top-k irrelevant items (reference auc.py:271-380).
+    """AUC between all test positives and the user's top-``k`` in-list
+    negatives (cf. reference auc.py:271-380; arXiv 2001.10495).
 
     >>> import pandas as pd
     >>> reco = pd.DataFrame({
@@ -144,27 +229,31 @@ class PartialAUC(_AUCMetric):
     ...     Columns.Item: [1, 2, 1, 3, 1, 2]})
     >>> PartialAUC(k=3).calc_per_user(reco, interactions).values
     array([1.        , 1.        , 0.33333333])
+    >>> PartialAUC(k=3, insufficient_handling="exclude").calc_per_user(reco, interactions).values
+    array([1., 1.])
     """
 
-    def _get_sufficient_reco_explanation(self) -> str:
-        return (
-            f"It is enough to have `n_user_positives` + `PAUC_k` ({self.k}) recommended items per user."
-        )
+    def _sufficiency_advice(self) -> str:
+        return f"Recommending `n_user_positives` + {self.k} items per user always suffices."
 
     def calc_per_user_from_fitted(self, fitted: AUCFitted, is_debiased: bool = False) -> pd.Series:
-        """Per-user partial AUC from fitted data."""
+        """Per-user pAUC@k. Denominator: k * n_pos; every ranked hit above at
+        least one top-k miss contributes."""
         self._check_debias(is_debiased, obj_name="AUCFitted")
-        outer_merged = fitted.outer_merged_enriched
-        cropped = outer_merged[(outer_merged["__fp_cumsum"] < self.k) & (~outer_merged[Columns.Rank].isna())]
-        cropped_suf, n_pos_suf = self._handle_insufficient_cases(
-            outer_merged=cropped, n_pos=fitted.n_pos, n_fp_insufficient=fitted.n_fp_insufficient
-        )
-        return self._calc_roc_auc(cropped_suf, n_pos_suf)
+        dropped = self._flag_short_lists(fitted)
+        hits, n_pos = fitted.hits, fitted.n_pos
+        if len(dropped):
+            hits = hits[~hits[Columns.User].isin(dropped)]
+            n_pos = n_pos[~n_pos.index.isin(dropped)]
+        keep = (hits["misses_above"] < self.k).to_numpy()
+        return self._pair_fraction(hits, n_pos * self.k, keep)
 
 
 @attr.s
 class PAP(_AUCMetric):
-    """Partial AUC + precision@k joint metric (reference auc.py:382-500).
+    """pAp@k — AUC between the top-``min(k, n_pos)`` ranked positives and the
+    top-``k`` in-list negatives; behaves like precision@k for positive-rich
+    users and like pAUC otherwise (cf. reference auc.py:382-497).
 
     >>> import pandas as pd
     >>> reco = pd.DataFrame({
@@ -178,24 +267,20 @@ class PAP(_AUCMetric):
     array([1.        , 1.        , 0.33333333])
     """
 
-    def _get_sufficient_reco_explanation(self) -> str:
-        return f"It is enough to have `PAP_k` ({self.k}) * 2 recommended items per user."
+    def _sufficiency_advice(self) -> str:
+        return f"Recommending 2 * {self.k} items per user always suffices."
 
     def calc_per_user_from_fitted(self, fitted: AUCFitted, is_debiased: bool = False) -> pd.Series:
-        """Per-user pAp@k from fitted data."""
+        """Per-user pAp@k. Denominator: k * min(n_pos, k); only a user's first
+        k ranked hits count."""
         self._check_debias(is_debiased, obj_name="AUCFitted")
-        outer_merged = fitted.outer_merged_enriched
-        cropped = outer_merged[
-            (outer_merged["__test_pos_cumsum"] <= self.k)
-            & (outer_merged["__fp_cumsum"] < self.k)
-            & (~outer_merged[Columns.Rank].isna())
-        ]
-        cropped_suf, n_pos_suf = self._handle_insufficient_cases(
-            outer_merged=cropped,
-            n_pos=fitted.n_pos.clip(upper=self.k),
-            n_fp_insufficient=fitted.n_fp_insufficient,
-        )
-        return self._calc_roc_auc(cropped_suf, n_pos_suf)
+        dropped = self._flag_short_lists(fitted)
+        hits, n_pos = fitted.hits, fitted.n_pos
+        if len(dropped):
+            hits = hits[~hits[Columns.User].isin(dropped)]
+            n_pos = n_pos[~n_pos.index.isin(dropped)]
+        keep = ((hits["misses_above"] < self.k) & (hits["hit_ordinal"] <= self.k)).to_numpy()
+        return self._pair_fraction(hits, n_pos.clip(upper=self.k) * self.k, keep)
 
 
 AucMetric = tp.Union[PartialAUC, PAP]
@@ -206,17 +291,15 @@ def calc_auc_metrics(
     reco: pd.DataFrame,
     interactions: pd.DataFrame,
 ) -> tp.Dict[str, float]:
-    """Family dispatcher sharing fitted outer merges per debias config
-    (reference auc.py:503-560)."""
-    results = {}
-    insufficient_handling_needed = any(
-        metric.insufficient_handling != InsufficientHandling.IGNORE for metric in metrics.values()
-    )
-    fit_tasks = calc_debiased_fit_task(metrics.values(), interactions)
-    fitted_debiased = {
-        config: _AUCMetric.fit(reco, interactions_d, k_max_d, insufficient_handling_needed)
-        for config, (k_max_d, interactions_d) in fit_tasks.items()
+    """Evaluate a batch of AUC-family metrics, fitting the per-hit
+    decomposition once per distinct debias config (cf. reference auc.py:503).
+    """
+    needs_sufficiency = any(m.insufficient_handling != InsufficientHandling.IGNORE for m in metrics.values())
+    shared_fits = {
+        config: _AUCMetric.fit(reco, variant_interactions, k_max, needs_sufficiency)
+        for config, (k_max, variant_interactions) in calc_debiased_fit_task(metrics.values(), interactions).items()
     }
-    for name, metric in metrics.items():
-        results[name] = metric.calc_from_fitted(fitted_debiased[metric.debias_config], is_debiased=True)
-    return results
+    return {
+        name: metric.calc_from_fitted(shared_fits[metric.debias_config], is_debiased=True)
+        for name, metric in metrics.items()
+    }
