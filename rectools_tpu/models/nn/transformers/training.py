@@ -749,8 +749,20 @@ class TransformerTrainingModule(TransformerTrainingModuleBase):
                     if len(pending_group) == group_size:
                         _dispatch_group(_prepare_group(pending_group), group_size)
                         pending_group = []
-                if pending_group:
-                    _dispatch_group(_prepare_group(pending_group), len(pending_group))
+                # Remainder (epoch batch count % group_size) goes through the
+                # single-step path: a remainder-sized stack would compile a
+                # second k-step scan per distinct remainder, and padding the
+                # stack with zero-weight batches would not be trajectory-safe
+                # (Adam moments decay on zero grads). The RNG stream is the
+                # same fold_in(dropout_key, global_step) either way.
+                for host_batch in pending_group:
+                    device_batch = self._device_batch(host_batch)
+                    step_rng = jax.random.fold_in(dropout_key, self.global_step)
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, device_batch, step_rng
+                    )
+                    self.global_step += 1
+                    epoch_losses.append(loss)
             if epoch_losses:
                 flat_losses = jnp.concatenate([jnp.atleast_1d(loss) for loss in epoch_losses])
                 self.train_loss_history.append(float(jnp.mean(flat_losses)))

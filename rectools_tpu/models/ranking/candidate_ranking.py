@@ -294,7 +294,16 @@ class CandidateRankingModel(ModelBase):
     @staticmethod
     def _label_candidates(candidates: pd.DataFrame, train_targets: pd.DataFrame) -> pd.DataFrame:
         """Binary target = membership of the (user, item) pair in the target
-        interactions, probed through a MultiIndex (no merge needed)."""
+        interactions, probed through a MultiIndex (no merge needed).
+
+        Deliberate deviation from the reference's left-merge-with-indicator
+        (reference ranking/candidate_ranking.py:641-696): when
+        ``train_targets`` contains duplicate (user, item) rows the reference
+        duplicates the matching candidate rows, feeding the reranker repeated
+        positives; membership probing labels each candidate once regardless.
+        One candidate row per proposed pair is the intended contract here —
+        interaction multiplicity belongs in feature engineering (e.g. a
+        weight/count feature), not in silently repeated training rows."""
         candidate_pairs = pd.MultiIndex.from_frame(candidates[Columns.UserItem])
         target_pairs = pd.MultiIndex.from_frame(train_targets[Columns.UserItem])
         labeled = candidates.copy()

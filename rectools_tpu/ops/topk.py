@@ -60,6 +60,10 @@ def _hier_chunk(n: int, k: int) -> tp.Optional[int]:
     count c*k grows past the stage-1 savings)."""
     if n < 4096 or k > 512:
         return None
+    if n % 128:
+        # candidate chunks are 128-multiples, so they can never tile an
+        # unaligned n; fall back to flat lax.top_k instead of a reshape error
+        return None
     floor = max(512, 2 * k)
     units = n // 128
     best = None

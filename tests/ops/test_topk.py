@@ -238,3 +238,30 @@ class TestDeviceResidentFactors:
         np.testing.assert_array_equal(idx1, idx2)
         np.testing.assert_allclose(sc1, sc2, atol=1e-5)
         np.testing.assert_array_equal(v1, v2)
+
+
+class TestExactTopKAlignment:
+    """exact_top_k must be a true lax.top_k drop-in at ANY width: unaligned
+    n >= 4096 (not a multiple of 128) takes the flat fallback instead of
+    crashing in the hierarchical reshape (round-4 advisor finding)."""
+
+    @pytest.mark.parametrize("n", [4097, 5000, 16001])
+    def test_unaligned_width_falls_back_exactly(self, n: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from rectools_tpu.ops.topk import _hier_chunk, exact_top_k
+
+        assert _hier_chunk(n, 100) is None
+        rng = np.random.default_rng(11)
+        scores = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+        got_s, got_i = exact_top_k(scores, 100)
+        ref_s, ref_i = jax.lax.top_k(scores, 100)
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+    def test_aligned_width_still_hierarchical(self) -> None:
+        from rectools_tpu.ops.topk import _hier_chunk
+
+        chunk = _hier_chunk(15872, 100)
+        assert chunk is not None and 15872 % chunk == 0
