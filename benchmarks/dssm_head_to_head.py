@@ -106,6 +106,7 @@ def run_ours(train, user_f, item_f, test, epochs: int, hyper: dict, seed: int) -
     model.fit(ds)
     reco = model.recommend(test["user_id"].unique(), ds, k=qg.K, filter_viewed=True)
     out = {**qg.evaluate(reco, test), "fit+reco_s": round(time.time() - t, 1)}
+    out["loss_curve"] = [round(x, 4) for x in model.train_loss_history]
     log(f"tpu/dssm: {out}")
     return out
 
@@ -146,6 +147,7 @@ def run_reference(train, user_f, item_f, test, epochs: int, hyper: dict, seed: i
     net.train()
     opt = net.configure_optimizers()
     loader = DataLoader(model.train_dataset_type.from_dataset(ds), batch_size=hyper["batch_size"], shuffle=True)
+    loss_curve = []
     for epoch in range(epochs):
         total, n_batches = 0.0, 0
         for i, batch in enumerate(loader):
@@ -155,13 +157,15 @@ def run_reference(train, user_f, item_f, test, epochs: int, hyper: dict, seed: i
             opt.step()
             total += float(loss.detach())
             n_batches += 1
+        loss_curve.append(round(total / max(n_batches, 1), 4))
         if epoch % 5 == 0 or epoch == epochs - 1:
-            log(f"  ref epoch {epoch}: loss {total / max(n_batches, 1):.4f}")
+            log(f"  ref epoch {epoch}: loss {loss_curve[-1]:.4f}")
     net.eval()
     model.model = net
     model.is_fitted = True
     reco = model.recommend(test["user_id"].unique(), ds, k=qg.K, filter_viewed=True)
     out = {**qg.evaluate(reco, test), "fit+reco_s": round(time.time() - t, 1)}
+    out["loss_curve"] = loss_curve
     log(f"reference/dssm: {out}")
     return out
 
@@ -169,7 +173,7 @@ def run_reference(train, user_f, item_f, test, epochs: int, hyper: dict, seed: i
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=15)
-    parser.add_argument("--seeds", default="32,33,34")
+    parser.add_argument("--seeds", default="32,33,34,35,36,37,38,39,40,41")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
@@ -196,6 +200,29 @@ def main() -> None:
     for seed in seeds:
         results[f"tpu_seed{seed}"] = run_ours(train, user_f, item_f, test, args.epochs, hyper, seed)
         results[f"reference_seed{seed}"] = run_reference(train, user_f, item_f, test, args.epochs, hyper, seed)
+        tpu = np.array([results[f"tpu_seed{s}"]["recall@10"] for s in seeds if f"tpu_seed{s}" in results])
+        ref = np.array(
+            [results[f"reference_seed{s}"]["recall@10"] for s in seeds if f"reference_seed{s}" in results]
+        )
+        diffs = tpu - ref
+        results["summary"] = {
+            "tpu_mean": round(float(tpu.mean()), 5),
+            "tpu_median": round(float(np.median(tpu)), 5),
+            "ref_mean": round(float(ref.mean()), 5),
+            "ref_median": round(float(np.median(ref)), 5),
+            "paired_diff_mean": round(float(diffs.mean()), 5),
+            "paired_diff_median": round(float(np.median(diffs)), 5),
+            "paired_t": round(
+                float(diffs.mean() / (diffs.std(ddof=1) / np.sqrt(len(diffs)))) if len(diffs) > 1 else float("nan"),
+                3,
+            ),
+            "tpu_below_cells": int((diffs < 0).sum()),
+            "n_cells": len(diffs),
+            # convergence check: a reference cell whose final-epoch loss sits
+            # far above the cohort is an underconverged arm, not evidence
+            "ref_final_losses": [results[f"reference_seed{s}"]["loss_curve"][-1] for s in seeds
+                                 if f"reference_seed{s}" in results],
+        }
         out_path = args.out or "/tmp/dssm_h2h.json"
         Path(out_path).write_text(json.dumps(results, indent=1))
         log(f"wrote {out_path} (through seed {seed})")

@@ -165,6 +165,9 @@ class DSSMModel(VectorModel[DSSMModelConfig]):
         train_data = self.train_dataset_type.from_dataset(dataset)
         towers = DSSMTowers(n_factors=self.n_factors)
         self._towers = towers
+        # per-epoch mean triplet loss, the convergence evidence the h2h
+        # benchmark records (mirrors TransformerTrainingModule's history)
+        self.train_loss_history: tp.List[float] = []
 
         rng_np = np.random.default_rng(self.random_state)
         sample = train_data.make_batch(np.arange(min(2, len(train_data))), rng_np)
@@ -204,8 +207,10 @@ class DSSMModel(VectorModel[DSSMModelConfig]):
                     jnp.asarray(mask),
                 )
                 epoch_losses.append(loss)
-            if self.verbose > 0 and epoch_losses:
-                print(f"epoch {epoch + 1}: loss={float(jnp.mean(jnp.stack(epoch_losses))):.5f}")
+            if epoch_losses:
+                self.train_loss_history.append(float(jnp.mean(jnp.stack(epoch_losses))))
+                if self.verbose > 0:
+                    print(f"epoch {epoch + 1}: loss={self.train_loss_history[-1]:.5f}")
 
         self.params = jax.tree.map(np.asarray, params)
 
