@@ -23,7 +23,7 @@ lint:
 	@if $(PYTHON) -c "import mypy" 2>/dev/null; then \
 		$(PYTHON) -m mypy rectools_tpu; \
 	else \
-		echo "mypy not installed; skipped (stdlib linter covers undefined names)"; \
+		$(PYTHON) tools/sigcheck.py rectools_tpu tests benchmarks; \
 	fi
 
 ci: lint test

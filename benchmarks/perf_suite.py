@@ -55,7 +55,7 @@ if "--cpu-mesh" in sys.argv and "xla_force_host_platform_device_count" not in os
     os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 
 REPO = Path(__file__).resolve().parent.parent
-ROUND = "r04"
+ROUND = "r05"
 sys.path.insert(0, str(REPO))
 
 T0 = time.time()
@@ -241,6 +241,7 @@ def bench_train(cfg, dropout_rate=0.2, compute_dtype="float32", remat=False, arc
     peak_bf16, peak_f32, _ = device_peaks()
     achieved = flops_per_step / dt_step
     return {
+        "protocol": "two-window-differenced",
         "examples_per_s": round(cfg["B"] / dt_step, 1),
         "examples_per_s_min": round(cfg["B"] / slopes[-1], 1),
         "examples_per_s_max": round(cfg["B"] / slopes[0], 1),
@@ -321,14 +322,112 @@ def bench_attention_micro():
     return results
 
 
+def bench_serving_device():
+    """Device-resident top-k throughput: the kernel's own QPS, measured with
+    the same two-window differenced protocol as training (VERDICT r4 item 2).
+
+    Queries live on device (the transformer `recommend` path hands the ranker
+    a device-resident session tower, so this is a real serving posture, not a
+    synthetic convenience), results are consumed on device, and only a scalar
+    probe is fetched per window. The n-batch windows run under `lax.scan`
+    with a step-dependent query perturbation so XLA cannot hoist the body;
+    per-batch time is the slope between a 4- and a 16-batch window, which
+    cancels the fixed dispatch round trip exactly. Spread = min/max of 5
+    paired slopes. The e2e tunnel numbers (bench_serving_e2e) measure the
+    transport-bound path separately."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectools_tpu.ops import topk as topk_mod
+    from rectools_tpu.ops.topk import TopKEngine
+    from rectools_tpu.utils.profiling import device_peaks
+
+    rng = np.random.default_rng(0)
+    n, d, k = 15872, 128, 100
+    objects = rng.normal(size=(n, d)).astype(np.float32)
+    results = {"protocol": "two-window-differenced, device-resident queries+results"}
+
+    peak_bf16, _, hbm_bw = device_peaks()
+
+    for mode in ("exact", "approx_0.95", "exact_bf16"):
+        engine = TopKEngine(
+            objects,
+            approximate=mode.startswith("approx"),
+            recall_target=0.95,
+            use_bfloat16=mode.endswith("bf16"),
+        )
+        for batch in (512, 2048, 8192):
+            queries = jnp.asarray(rng.normal(size=(batch, d)).astype(np.float32))
+
+            def make_window(n_batches, engine=engine, queries=queries, batch=batch):
+                def body(carry, i):
+                    q = queries * (1.0 + 1e-9 * i.astype(jnp.float32))
+                    idx, scores, valid = engine.query_batch_async(q, k)
+                    return carry + scores[0, 0], None
+
+                @jax.jit
+                def window():
+                    out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_batches))
+                    return out
+
+                return window
+
+            small, large = make_window(4), make_window(16)
+            float(small())
+            float(large())
+            slopes = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(small())
+                t_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(large())
+                t_l = time.perf_counter() - t0
+                slopes.append((t_l - t_s) / 12)
+            slopes.sort()
+            med = slopes[len(slopes) // 2]
+            results[f"topk_{mode}_device_qps_b{batch}"] = round(batch / med, 0)
+            results[f"topk_{mode}_device_qps_b{batch}_min"] = round(batch / slopes[-1], 0)
+            results[f"topk_{mode}_device_qps_b{batch}_max"] = round(batch / slopes[0], 0)
+            results[f"topk_{mode}_device_batch_ms_b{batch}"] = round(med * 1e3, 3)
+        log(f"serving device {mode}: done")
+
+    # Roofline for the exact engine at the headline shape: the f32-parity
+    # matmul runs at HIGHEST precision (6 bf16 MXU passes per f32 product),
+    # and the (B, N) score tensor makes one HBM round trip into the
+    # hierarchical top-k.
+    b = 8192
+    n_pad = ((n + 127) // 128) * 128
+    matmul_flops = 2.0 * b * n_pad * d
+    score_bytes = b * n_pad * 4 * 2  # write + read around the top-k
+    io_bytes = (b * d * 4) + (n_pad * d * 4) + b * k * (4 + 4 + 1)
+    flop_bound_ms = matmul_flops / (peak_bf16 / 6) * 1e3
+    byte_bound_ms = (score_bytes + io_bytes) / hbm_bw * 1e3
+    meas_ms = results.get("topk_exact_device_batch_ms_b8192", float("nan"))
+    results["roofline_exact_b8192"] = {
+        "matmul_flops": float(f"{matmul_flops:.4g}"),
+        "hbm_bytes": float(f"{score_bytes + io_bytes:.4g}"),
+        "flop_bound_ms_f32_highest": round(flop_bound_ms, 3),
+        "hbm_bound_ms": round(byte_bound_ms, 3),
+        "bound": "flop (6-pass f32-parity matmul)" if flop_bound_ms > byte_bound_ms else "memory",
+        "measured_ms": meas_ms,
+        "frac_of_bound": round(max(flop_bound_ms, byte_bound_ms) / meas_ms, 3) if meas_ms else None,
+    }
+    return results
+
+
 def bench_serving():
+    """End-to-end tunnel serving: host queries in, host results out (the
+    remote transport's fixed round trip and per-byte cost INCLUDED — that is
+    what a blocking remote caller experiences). Labeled e2e; the kernel's own
+    throughput is bench_serving_device."""
     from rectools_tpu.ops.topk import TopKEngine
 
     rng = np.random.default_rng(0)
     n, d, batch, k = 15872, 128, 8192, 100
     objects = rng.normal(size=(n, d)).astype(np.float32)
     queries = rng.normal(size=(batch, d)).astype(np.float32)
-    results = {}
+    results = {"protocol": "e2e through remote transport, pipelined depth-8, raw (not differenced)"}
     for mode, engine in (
         ("exact", TopKEngine(objects)),
         ("approx_0.95", TopKEngine(objects, approximate=True, recall_target=0.95)),
@@ -410,6 +509,8 @@ def run_tpu_suite():
     log(f"train_hstu_kion_bf16: {out['train_hstu_kion_bf16']}")
     out["attention_micro"] = bench_attention_micro()
     log(f"attention: {out['attention_micro']}")
+    out["serving_device"] = bench_serving_device()
+    log(f"serving_device: {out['serving_device']}")
     out["serving"] = bench_serving()
     log(f"serving: {out['serving']}")
     return out
