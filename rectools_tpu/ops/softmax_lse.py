@@ -453,6 +453,20 @@ def _streaming_lse_fwd(sessions, items, row_bias, block_m, chunk_n, interpret, b
 # bytes fall back to the two-pass kernels (no partials, one extra logit pass)
 _FUSED_BWD_PARTIALS_BUDGET = 512 * 1024 * 1024
 
+# Per-chunk ds partials precision for bf16 inputs. bf16 partials halve the
+# partial-sum HBM traffic but round each chunk's session-gradient partial
+# BEFORE the cross-chunk sum, where cancellation can amplify the error
+# (round-4 advisor finding). Flip to False to force f32 partials; the
+# measured cost/accuracy trade is recorded in PERF_r05.md and
+# tests/models/nn/transformers/test_bf16_drift.py pins the quality effect.
+BF16_DS_PARTIALS = True
+
+
+def _ds_partials_dtype(input_dtype) -> jnp.dtype:
+    if BF16_DS_PARTIALS and input_dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
 
 def _streaming_lse_bwd(block_m, chunk_n, interpret, bounded_shift, residuals, dlse):
     sessions, items, row_bias, lse = residuals
@@ -698,7 +712,7 @@ def softmax_ce_grads_from_z(
     # padded rows: coeff 0 -> their delta vanishes (y value is then irrelevant)
     y3 = jnp.pad(y.astype(jnp.int32), (0, pad_m)).reshape(n_m, 1, block_m)
     c3 = jnp.pad(coeff.astype(jnp.float32), (0, pad_m)).reshape(n_m, 1, block_m)
-    part_dtype = sessions.dtype if sessions.dtype == jnp.bfloat16 else jnp.float32
+    part_dtype = _ds_partials_dtype(sessions.dtype)
 
     partials_bytes = n_chunks * s_pad.shape[0] * d * jnp.dtype(part_dtype).itemsize
     if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:
@@ -796,7 +810,7 @@ def softmax_grads_from_z(
     # padded session rows: z=+inf makes pw vanish
     z_pad = jnp.pad(z.astype(jnp.float32), (0, s_pad.shape[0] - m_rows), constant_values=jnp.inf)
     z3 = z_pad.reshape(n_m, 1, block_m)
-    part_dtype = sessions.dtype if sessions.dtype == jnp.bfloat16 else jnp.float32
+    part_dtype = _ds_partials_dtype(sessions.dtype)
 
     partials_bytes = n_chunks * s_pad.shape[0] * d * jnp.dtype(part_dtype).itemsize
     if partials_bytes <= _FUSED_BWD_PARTIALS_BUDGET:

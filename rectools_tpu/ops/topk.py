@@ -78,21 +78,11 @@ def _hier_chunk(n: int, k: int) -> tp.Optional[int]:
     return best
 
 
-def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
-    """Exact ``lax.top_k`` drop-in, ~2x faster at serving shapes.
-
-    XLA's TPU TopK over a wide trailing axis is the serving bottleneck
-    (110 ms of an 87 ms-compute batch at B=8192, N=15872, k=100). A
-    two-level reduction — top-k inside 128-aligned chunks, then top-k over
-    the c*k survivors — returns the same (scores, indices) set in ~52 ms.
-    EXACTNESS: the returned set is always exact. ORDER of exactly-tied
-    scores follows candidate position (chunk-major), the same convention as
-    the sharded merge in ops/topk_sharded.py, which can differ from flat
-    ``lax.top_k``'s global lowest-index rule across chunk boundaries."""
+def _hier_top_k(scores: jax.Array, k: int, chunk: int) -> tp.Tuple[jax.Array, jax.Array]:
+    """Two-level reduction: top-k inside 128-aligned chunks, then top-k over
+    the c*k survivors. Exact SET; tie ORDER follows candidate position
+    (chunk-major), like the sharded merge in ops/topk_sharded.py."""
     n = scores.shape[-1]
-    chunk = _hier_chunk(n, k)
-    if chunk is None:
-        return jax.lax.top_k(scores, k)
     lead = scores.shape[:-1]
     c = n // chunk
     s1, i1 = jax.lax.top_k(scores.reshape(*lead, c, chunk), k)
@@ -100,6 +90,37 @@ def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
     top_scores, pos = jax.lax.top_k(s1.reshape(*lead, c * k), k)
     top_idx = jnp.take_along_axis((i1 + base).reshape(*lead, c * k), pos, axis=-1)
     return top_scores, top_idx
+
+
+def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
+    """Exact ``lax.top_k`` drop-in, ~14x faster at serving shapes.
+
+    XLA's TPU TopK costs ~0.2 ns per INPUT element regardless of k — 110 ms
+    flat / 41 ms two-level at B=8192, N=15872, k=100, vs 0.66 ms to read the
+    tensor once. On TPU the wide case routes to the grouped Pallas selector
+    (ops/topk_select.py): one HBM pass reduces each 128-lane group to its
+    top-m on a VMEM-resident tile, a narrow lax.top_k merges candidates,
+    and an exactness certificate falls back to the two-level reduction for
+    adversarial value layouts — measured ~2.9 ms at the shape above.
+    EXACTNESS: the returned set is always exact at every shape. ORDER of
+    exactly-tied scores matches flat ``lax.top_k`` (lowest index first) on
+    the grouped fast path; the two-level reduction (certificate fallback,
+    and non-TPU wide shapes) orders ties by candidate position (chunk-major)
+    like the sharded merge in ops/topk_sharded.py."""
+    n = scores.shape[-1]
+    if jax.default_backend() == "tpu" and n >= 4096 and k <= 512 and k <= n:
+        from .topk_select import grouped_exact_top_k
+
+        lead = scores.shape[:-1]
+        flat = scores.reshape(-1, n)
+        chunk = _hier_chunk(n, k)
+        fallback = None if chunk is None else (lambda s, kk: _hier_top_k(s, kk, chunk))
+        vals, idx = grouped_exact_top_k(flat, k, fallback=fallback)
+        return vals.reshape(*lead, k), idx.reshape(*lead, k)
+    chunk = _hier_chunk(n, k)
+    if chunk is None:
+        return jax.lax.top_k(scores, k)
+    return _hier_top_k(scores, k, chunk)
 
 
 @partial(jax.jit, static_argnames=("k", "mode", "approx", "recall_target"))

@@ -1,0 +1,155 @@
+"""Grouped exact top-k: one-HBM-pass candidate selection for wide score rows.
+
+THE serving-side selection kernel. XLA's TopK on TPU costs ~0.2 ns per input
+element regardless of k (measured at the KION serving shape B=8192,
+N=15872, k=100: flat ``lax.top_k`` 110 ms, the two-level hierarchical form
+41 ms — both ~30-80x above the 0.66 ms it takes to simply READ the score
+tensor once). This module gets within a small factor of that read bound:
+
+1. **Pallas stage 1** (``_group_topm``): view the row as G groups of 128
+   lanes and reduce each group to its top-``m`` (values, lane indices) by
+   ``m`` rounds of lane-max + first-occurrence argmax + mask, all on a
+   VMEM-resident tile — the score tensor is read from HBM exactly once
+   (XLA expressing the same loop re-reads the tensor every round). Within a
+   group, equal values extract lowest-index-first.
+2. **XLA stage 2**: flat ``lax.top_k`` over the (B, G*m) candidates —
+   narrow, so cheap (~0.2 ns/elem on 2M elements, not 130M).
+3. **Exactness certificate**: a group can hide relevant elements only if
+   its m-th kept value still ties-or-beats the provisional k-th value. If
+   any group is suspect, fall back to the hierarchical exact path
+   (`ops.topk.exact_top_k` semantics) under ``lax.cond`` — correctness
+   never depends on the data distribution, only speed does. For k=100 over
+   124 groups the suspect probability is ~Poisson(0.8) tail beyond 16,
+   i.e. never in practice for un-clustered scores; adversarial layouts
+   (e.g. a popularity-sorted catalog where the whole top-k is one group)
+   take the fallback and stay exact.
+
+Tie semantics on the fast path are EXACTLY flat ``lax.top_k``'s
+lowest-index-first rule: within-group ties extract in index order, groups
+concatenate in index order, and stage 2's own tie rule picks the earliest
+candidate. (The fallback keeps `exact_top_k`'s documented chunk-major
+order, which can differ on exact ties only.)
+
+Replaces: the serving-critical ``implicit.cpu.topk.topk`` Cython loop
+(reference rectools/models/rank/rank_implicit.py:264-272).
+"""
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+GROUP_W = 128
+DEFAULT_M = 16
+_NEG_INF = float("-inf")
+
+
+def _group_topm_kernel(x_ref, vals_ref, idx_ref, *, m: int, w: int):
+    """One program: (rows_blk, w) tile -> per-row top-m values + lane ids.
+
+    m rounds of (lane-max, first-occurrence argmax, mask-out) on the
+    VMEM-resident tile; results accumulate in registers and store once.
+    """
+    x = x_ref[...]
+    rows = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)
+    vals = jnp.full((rows, m), _NEG_INF, jnp.float32)
+    idx = jnp.zeros((rows, m), jnp.int32)
+    cur = x.astype(jnp.float32)
+    for j in range(m):
+        mx = jnp.max(cur, axis=1, keepdims=True)  # (rows, 1)
+        # first occurrence of the max: smallest lane where cur == mx
+        arg = jnp.min(jnp.where(cur == mx, lane, w), axis=1, keepdims=True)
+        vals = jnp.where(out_col == j, mx, vals)
+        idx = jnp.where(out_col == j, arg, idx)
+        cur = jnp.where(lane == arg, _NEG_INF, cur)
+    vals_ref[...] = vals
+    idx_ref[...] = idx
+
+
+def _group_topm(
+    scores: jax.Array,  # (R, GROUP_W) f32 — rows of one group each
+    m: int,
+    rows_blk: int = 1024,
+    interpret: bool = False,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    r, w = scores.shape
+    r_pad = -(-r // rows_blk) * rows_blk
+    if r_pad != r:
+        scores = jnp.pad(scores, ((0, r_pad - r), (0, 0)), constant_values=_NEG_INF)
+    vals, idx = pl.pallas_call(
+        partial(_group_topm_kernel, m=m, w=w),
+        grid=(r_pad // rows_blk,),
+        in_specs=[pl.BlockSpec((rows_blk, w), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((rows_blk, m), lambda i: (i, 0)),
+            pl.BlockSpec((rows_blk, m), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, m), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, m), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scores)
+    return vals[:r], idx[:r]
+
+
+def _pick_m(n_pad: int, k: int) -> int:
+    """Candidates per group: enough that (a) G*m >= k and (b) the suspect
+    certificate almost never fires on un-clustered data."""
+    g = n_pad // GROUP_W
+    return max(DEFAULT_M, -(-k // g))
+
+
+def grouped_exact_top_k(
+    scores: jax.Array,  # (B, N) f32
+    k: int,
+    fallback: tp.Optional[tp.Callable[[jax.Array, int], tp.Tuple[jax.Array, jax.Array]]] = None,
+    interpret: bool = False,
+) -> tp.Tuple[jax.Array, jax.Array]:
+    """Exact ``lax.top_k`` replacement for wide rows; see module docstring.
+
+    ``fallback(scores, k) -> (vals, idx)`` handles certificate failures
+    (default: flat ``lax.top_k``; `ops.topk.exact_top_k` passes its
+    hierarchical form to avoid flat TopK's pathological cost/HLO at width).
+    """
+    b, n = scores.shape
+    n_pad = -(-n // GROUP_W) * GROUP_W
+    g = n_pad // GROUP_W
+    m = _pick_m(n_pad, k)
+    if m > GROUP_W:
+        raise ValueError(f"k={k} too large for grouped top-k over {n} columns")
+    padded = scores.astype(jnp.float32)
+    if n_pad != n:
+        padded = jnp.pad(padded, ((0, 0), (0, n_pad - n)), constant_values=_NEG_INF)
+
+    gv, gi = _group_topm(padded.reshape(b * g, GROUP_W), m, interpret=interpret)
+    cand_vals = gv.reshape(b, g * m)
+    group_base = (jax.lax.broadcasted_iota(jnp.int32, (g, m), 0) * GROUP_W).reshape(1, g * m)
+    cand_idx = gi.reshape(b, g * m) + group_base
+
+    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+
+    # certificate: a group may hide elements only below its m-th kept value;
+    # if that value still ties-or-beats the provisional k-th, the hidden tail
+    # could belong in (or tie into) the top-k -> recompute exactly.
+    kth = top_vals[:, k - 1 : k]  # (B, 1)
+    group_floor = gv.reshape(b, g, m)[:, :, m - 1]  # (B, G)
+    suspect = jnp.any(group_floor >= kth)
+
+    if fallback is None:
+        fallback = lambda s, kk: jax.lax.top_k(s, kk)  # noqa: E731
+
+    def _fast(_):
+        return (top_vals, top_idx)
+
+    def _slow(_):
+        fv, fi = fallback(scores, k)  # some top_k impls return a list
+        return (fv, fi)
+
+    out = jax.lax.cond(suspect, _slow, _fast, operand=None)
+    return out[0], out[1]
