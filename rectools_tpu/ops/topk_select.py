@@ -19,7 +19,7 @@ tensor once). This module gets within a small factor of that read bound:
    any group is suspect, fall back to the hierarchical exact path
    (`ops.topk.exact_top_k` semantics) under ``lax.cond`` — correctness
    never depends on the data distribution, only speed does. For k=100 over
-   124 groups the suspect probability is ~Poisson(0.8) tail beyond 16,
+   124 groups the suspect probability is ~Poisson(0.8) tail beyond m=12,
    i.e. never in practice for un-clustered scores; adversarial layouts
    (e.g. a popularity-sorted catalog where the whole top-k is one group)
    take the fallback and stay exact.
@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 GROUP_W = 128
-DEFAULT_M = 16
+DEFAULT_M = 12
 _NEG_INF = float("-inf")
 
 
@@ -51,29 +51,35 @@ def _group_topm_kernel(x_ref, vals_ref, idx_ref, *, m: int, w: int):
 
     m rounds of (lane-max, first-occurrence argmax, mask-out) on the
     VMEM-resident tile; results accumulate in registers and store once.
+    MOSAIC LANDMINES (each measured on v5e at the B=8192, N=15872 shape):
+    int lane-reduces are ~10x float ones (an int-min argmax made the kernel
+    82 ms; the float max over masked ``w-1-lane`` below is 8 ms), f32 iota
+    is unsupported (generate int32, convert), and rows_blk >= 1024 blows the
+    16 MB scoped-VMEM stack once the loop's live set is counted.
     """
     x = x_ref[...]
     rows = x.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    # first-occurrence argmax as a FLOAT max: the largest (w-1 - lane) among
+    # maximal lanes. Lane ids < 2^24 are exact in f32.
+    lane_rev = ((w - 1) - jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)).astype(jnp.float32)
     out_col = jax.lax.broadcasted_iota(jnp.int32, (rows, m), 1)
     vals = jnp.full((rows, m), _NEG_INF, jnp.float32)
-    idx = jnp.zeros((rows, m), jnp.int32)
+    args = jnp.zeros((rows, m), jnp.float32)
     cur = x.astype(jnp.float32)
     for j in range(m):
         mx = jnp.max(cur, axis=1, keepdims=True)  # (rows, 1)
-        # first occurrence of the max: smallest lane where cur == mx
-        arg = jnp.min(jnp.where(cur == mx, lane, w), axis=1, keepdims=True)
+        rev = jnp.max(jnp.where(cur == mx, lane_rev, _NEG_INF), axis=1, keepdims=True)
         vals = jnp.where(out_col == j, mx, vals)
-        idx = jnp.where(out_col == j, arg, idx)
-        cur = jnp.where(lane == arg, _NEG_INF, cur)
+        args = jnp.where(out_col == j, float(w - 1) - rev, args)
+        cur = jnp.where(lane_rev == rev, _NEG_INF, cur)
     vals_ref[...] = vals
-    idx_ref[...] = idx
+    idx_ref[...] = args.astype(jnp.int32)
 
 
 def _group_topm(
     scores: jax.Array,  # (R, GROUP_W) f32 — rows of one group each
     m: int,
-    rows_blk: int = 1024,
+    rows_blk: int = 512,
     interpret: bool = False,
 ) -> tp.Tuple[jax.Array, jax.Array]:
     r, w = scores.shape
@@ -99,7 +105,10 @@ def _group_topm(
 
 def _pick_m(n_pad: int, k: int) -> int:
     """Candidates per group: enough that (a) G*m >= k and (b) the suspect
-    certificate almost never fires on un-clustered data."""
+    certificate almost never fires on un-clustered data (the tail of a
+    Poisson(k*128/n) group occupancy beyond m=12 is ~1e-10 per group at the
+    KION serving shape; each round costs ~0.45 ms at B=8192, so m buys
+    robustness at measurable price)."""
     g = n_pad // GROUP_W
     return max(DEFAULT_M, -(-k // g))
 
@@ -132,7 +141,12 @@ def grouped_exact_top_k(
     cand_idx = gi.reshape(b, g * m) + group_base
 
     top_vals, pos = jax.lax.top_k(cand_vals, k)
-    top_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    # index recovery WITHOUT a gather: take_along_axis on (B, G*m) measures
+    # 13.5 ms at the KION serving shape vs 6.5 ms for this fused
+    # compare-and-reduce (TPU's gather unit is the wrong tool; same finding
+    # as the HSTU bias lookup in ops/stu_attention._bucket_bias)
+    onehot = pos[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, g * m), 2)
+    top_idx = jnp.where(onehot, cand_idx[:, None, :], 0).sum(axis=-1)
 
     # certificate: a group may hide elements only below its m-th kept value;
     # if that value still ties-or-beats the provisional k-th, the hidden tail
