@@ -456,8 +456,13 @@ _FUSED_BWD_PARTIALS_BUDGET = 512 * 1024 * 1024
 # Per-chunk ds partials precision for bf16 inputs. bf16 partials halve the
 # partial-sum HBM traffic but round each chunk's session-gradient partial
 # BEFORE the cross-chunk sum, where cancellation can amplify the error
-# (round-4 advisor finding). Flip to False to force f32 partials; the
-# measured cost/accuracy trade is recorded in PERF_r05.md and
+# (round-4 advisor finding). Measured at the KION shape (B=512, L=100,
+# N=15872, 8 chunks; benchmarks/results_partials_ab.json): f32 partials cost
+# +0.16 ms on the 6.15 ms loss fwd+bwd slice (+2.6%); bf16 partials move ds
+# by 0.0015 rel-mean vs f32 partials, while bf16 TOWERS alone already sit
+# 0.0014 rel-mean from the f32-tower oracle — the partial rounding adds
+# ~0.0006 on top of a same-sized noise floor, and di is bit-identical. The
+# default therefore stays bf16; flip to False to force f32 partials.
 # tests/models/nn/transformers/test_bf16_drift.py pins the quality effect.
 BF16_DS_PARTIALS = True
 
