@@ -251,6 +251,7 @@ def main() -> None:
                 "value": round(jax_eps, 2),
                 "unit": "examples/s",
                 "vs_baseline": BASELINE_EPS,
+                "protocol": "two-window-differenced",
             }
         )
     )

@@ -205,8 +205,14 @@ def _fused_ce_bwd(block_m, chunk_n, residuals, g):
     # probability, label select, both matmul outputs), so it caps its
     # block_m at 384 — (512, cn) in the bwd exceeds the 16 MB scoped-VMEM
     # stack at d=128 (measured: the HSTU KION config failed compile), while
-    # 384 compiles across the suite and measures fastest of the fitting sizes
-    ds_c, di_c = softmax_ce_grads_from_z(s2, items, z, y_flat, cg, min(block_m, 384), chunk_n)
+    # 384 compiles across the suite and measures fastest of the fitting sizes.
+    # The item-chunk width is capped by the same budget: per-program VMEM
+    # scales with chunk_n * d (items tile + f32 di block), and (384, 4096)
+    # at d=256 overflowed the scoped stack in some fusion contexts
+    # (ml20m_b512 loss slice, 22 MB requested) — hold chunk_n * d at the
+    # d=128 working point.
+    chunk_cap = max(1024, (4096 * 128 // max(s2.shape[1], 1)) // 1024 * 1024)
+    ds_c, di_c = softmax_ce_grads_from_z(s2, items, z, y_flat, cg, min(block_m, 384), min(chunk_n, chunk_cap))
     ds = gsgn * ds_c
     di = gsgn * di_c
     dw = (g * ce / denom).astype(w_flat.dtype)
