@@ -192,16 +192,21 @@ class MRR(_RankingMetric):
         return self.calc_per_user_from_merged(merged, is_debiased).mean()
 
     def calc_per_user_from_merged(self, merged: pd.DataFrame, is_debiased: bool = False) -> pd.Series:
-        """Per-user reciprocal first-relevant rank from a merged table."""
+        """Per-user reciprocal first-relevant rank from a merged table.
+
+        Flat numpy derivation (same idiom as the AUC metrics): the best
+        in-window hit per user is a masked segment-min over the user column,
+        taken with ``np.minimum.at`` — no groupby, no NaN sentinels.
+        """
         if not is_debiased and self.debias_config is not None:
             merged = debias_interactions(merged, self.debias_config)
-        cutted_rank = np.where(merged[Columns.Rank] <= self.k, merged[Columns.Rank], np.nan)
-        min_rank_per_user = (
-            pd.DataFrame({Columns.User: merged[Columns.User], "__cutted_rank": cutted_rank})
-            .groupby(Columns.User, sort=False)["__cutted_rank"]
-            .min()
-        )
-        return (1.0 / min_rank_per_user).fillna(0).rename(None)
+        user_codes, user_index = pd.factorize(merged[Columns.User], sort=True)
+        ranks = merged[Columns.Rank].to_numpy(dtype=float, na_value=np.inf)
+        in_window = ranks <= self.k
+        best = np.full(len(user_index), np.inf)
+        np.minimum.at(best, user_codes[in_window], ranks[in_window])
+        rr = np.where(np.isfinite(best), 1.0 / best, 0.0)
+        return pd.Series(rr, index=pd.Index(user_index, name=Columns.User), name=None)
 
 
 RankingMetric = tp.Union[NDCG, MAP, MRR]
