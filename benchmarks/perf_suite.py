@@ -372,7 +372,12 @@ def bench_serving_device():
 
                 return window
 
-            small, large = make_window(4), make_window(16)
+            # scale window length so each window carries >= ~40 ms of
+            # device work: at b=512 a 4-batch window is ~4 ms and the
+            # two-window difference drops into timer noise (a refresh run
+            # produced physically impossible sub-0.1 ms/batch medians there)
+            scale = max(1, 8192 // batch)
+            small, large = make_window(4 * scale), make_window(16 * scale)
             float(small())
             float(large())
             slopes = []
@@ -383,12 +388,16 @@ def bench_serving_device():
                 t0 = time.perf_counter()
                 float(large())
                 t_l = time.perf_counter() - t0
-                slopes.append((t_l - t_s) / 12)
+                slopes.append((t_l - t_s) / (12 * scale))
             slopes.sort()
             med = slopes[len(slopes) // 2]
+            # a non-positive slope rep means jitter exceeded the 12-batch
+            # window delta (possible at the smallest batch): such reps carry
+            # no rate information, so the spread is over positive slopes only
+            pos = [sl for sl in slopes if sl > 0] or [med]
             results[f"topk_{mode}_device_qps_b{batch}"] = round(batch / med, 0)
-            results[f"topk_{mode}_device_qps_b{batch}_min"] = round(batch / slopes[-1], 0)
-            results[f"topk_{mode}_device_qps_b{batch}_max"] = round(batch / slopes[0], 0)
+            results[f"topk_{mode}_device_qps_b{batch}_min"] = round(batch / pos[-1], 0)
+            results[f"topk_{mode}_device_qps_b{batch}_max"] = round(batch / pos[0], 0)
             results[f"topk_{mode}_device_batch_ms_b{batch}"] = round(med * 1e3, 3)
         log(f"serving device {mode}: done")
 
