@@ -56,8 +56,9 @@ def _hier_chunk(n: int, k: int) -> tp.Optional[int]:
 
     Wants the smallest 128-multiple divisor of ``n`` that is >= max(512, 2k)
     — the v5e sweep at (B=8192, N=15872, k=100) put chunks of 512-992 at
-    ~52 ms vs 110 ms flat, with 256 already regressing (stage-2 candidate
-    count c*k grows past the stage-1 savings)."""
+    ~41 ms vs 110 ms flat, with 256 already regressing (stage-2 candidate
+    count c*k grows past the stage-1 savings). On TPU this form now serves
+    as the certificate fallback behind the grouped Pallas selector."""
     if n < 4096 or k > 512:
         return None
     if n % 128:
@@ -93,7 +94,7 @@ def _hier_top_k(scores: jax.Array, k: int, chunk: int) -> tp.Tuple[jax.Array, ja
 
 
 def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
-    """Exact ``lax.top_k`` drop-in, ~14x faster at serving shapes.
+    """Exact ``lax.top_k`` drop-in, ~7x faster than flat at serving shapes.
 
     XLA's TPU TopK costs ~0.2 ns per INPUT element regardless of k — 110 ms
     flat / 41 ms two-level at B=8192, N=15872, k=100, vs 0.66 ms to read the
@@ -101,7 +102,7 @@ def exact_top_k(scores: jax.Array, k: int) -> tp.Tuple[jax.Array, jax.Array]:
     (ops/topk_select.py): one HBM pass reduces each 128-lane group to its
     top-m on a VMEM-resident tile, a narrow lax.top_k merges candidates,
     and an exactness certificate falls back to the two-level reduction for
-    adversarial value layouts — measured ~2.9 ms at the shape above.
+    adversarial value layouts — measured 16.1 ms at the shape above.
     EXACTNESS: the returned set is always exact at every shape. ORDER of
     exactly-tied scores matches flat ``lax.top_k`` (lowest index first) on
     the grouped fast path; the two-level reduction (certificate fallback,
