@@ -106,3 +106,21 @@ def test_steps_per_dispatch_preserves_trajectory() -> None:
         return model.training_module.train_loss_history
 
     assert fit(1) == fit(3)
+
+
+def test_grouped_dispatch_remainder_preserves_trajectory() -> None:
+    """An epoch whose batch count is NOT divisible by steps_per_dispatch
+    mixes full k-step dispatches with remainder batches; the remainder goes
+    through the compiled single-step path (round-4 advisor: no per-remainder
+    recompile) and the trajectory must stay bit-identical."""
+    dataset, _ = _cyclic_dataset(n_users=40, session_len=6)
+
+    def fit(k: int) -> list:
+        model = _model("float32")
+        model.epochs = 2
+        model.batch_size = 8  # 40 users -> 5 batches/epoch: 2 groups of 2 + 1 remainder
+        model.training_module_kwargs = {"compute_dtype": "float32", "steps_per_dispatch": k}
+        model.fit(dataset)
+        return model.training_module.train_loss_history
+
+    assert fit(1) == fit(2)
