@@ -48,7 +48,17 @@ _MODEL_SHARDED_PARAM_NAMES = ("ids_emb", "cat_emb")
 
 def _xavier_normal_reinit(params: Params, rng: jax.Array) -> Params:
     """Re-init every parameter with ndim > 1 from Xavier-normal, mirroring the
-    reference's on_train_start hook (lightning.py:296-299, 366-369)."""
+    reference's on_train_start hook (lightning.py:296-299, 366-369).
+
+    Dense-style BIASES get the torch ``Linear`` default
+    ``U(-1/sqrt(fan_in), +1/sqrt(fan_in))``: the reference's Xavier pass only
+    touches dim>1 parameters, so its models train with torch's nonzero
+    bias defaults while flax Dense biases start at zero. This was the one
+    initializer-distribution deviation between the stacks, and it is load-
+    bearing — the r5 full-scale temporal probe
+    (benchmarks/results_bias_init_probe.json) measured HSTU recall@10
+    +0.040/+0.011/(seed 60/61) from matching it. LayerNorm scales/biases and
+    1-D bias tables are left alone (both stacks agree there)."""
     leaves, treedef = jax.tree.flatten(params)
     keys = jax.random.split(rng, len(leaves))
     new_leaves = []
@@ -60,7 +70,29 @@ def _xavier_normal_reinit(params: Params, rng: jax.Array) -> Params:
             new_leaves.append(jax.random.normal(key, leaf.shape, leaf.dtype) * std)
         else:
             new_leaves.append(leaf)
-    return jax.tree.unflatten(treedef, new_leaves)
+    params = jax.tree.unflatten(treedef, new_leaves)
+
+    bias_key = [jax.random.fold_in(rng, 0x7B1A5)]
+
+    def _walk(node):
+        if isinstance(node, dict):
+            if (
+                "kernel" in node
+                and "bias" in node
+                and getattr(node["bias"], "ndim", 0) == 1
+                and getattr(node["kernel"], "ndim", 0) >= 2
+            ):
+                bound = float(1.0 / np.sqrt(node["kernel"].shape[0]))
+                bias_key[0], sub = jax.random.split(bias_key[0])
+                node = dict(node)
+                node["bias"] = jax.random.uniform(
+                    sub, node["bias"].shape, node["bias"].dtype, -bound, bound
+                )
+                return node
+            return {k: _walk(v) for k, v in node.items()}
+        return node
+
+    return _walk(params)
 
 
 def pad_batch(batch: Batch, batch_size: int) -> Batch:
